@@ -1,0 +1,352 @@
+"""AutoPGD (APGD) as a shape-static `jax.lax.scan`.
+
+One implementation serves both reference variants:
+- the training inner attack (reference train/apgd_train.py:125-373 — zero init,
+  per-example adaptive step size, oscillation-triggered halving, best restore),
+- the canonical AutoAttack APGD (reference autoattack/autopgd_base.py:205-451 —
+  random init, ce/dlr/targeted-dlr losses, identical schedule).
+
+Design (TPU-first):
+- The step-size checkpoint schedule (counter3/k bookkeeping, reference
+  apgd_train.py:150-170, 331-355) is *static*: it is unrolled at trace time into
+  per-iteration (is_checkpoint, window) arrays fed to the scan as `xs`, so the
+  compiled loop body has no data-dependent control flow.
+- Per-example data-dependent branches (best tracking, oscillation halving,
+  best-restore) are vectorized `jnp.where` — exactly the masked-index updates
+  the reference performs with fancy indexing.
+- The loss history needed by the oscillation check lives in the scan carry as a
+  fixed (n_iter, B) buffer updated with `dynamic_update_slice`; the reference's
+  window sum (check_oscillation, apgd_train.py:117-122) becomes a masked
+  reduction over the buffer, including the reference's wrap-around quirk at the
+  first checkpoint (torch x[-1] indexing the still-zero last row).
+- The Linf elementwise update is the fused Pallas kernel
+  (robustvlm_tpu.ops.pallas.attack_step); everything else is XLA-fused.
+- Per-example attack state shards with the batch over the mesh data axis.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robustvlm_tpu.ops.pallas.attack_step import fused_linf_apgd_step
+from robustvlm_tpu.ops.projections import (
+    canonical_norm,
+    l0_norm,
+    l1_ball_projection,
+    l2_norm,
+    lp_normalize,
+)
+
+
+class APGDResult(NamedTuple):
+    x_best: jax.Array      # iterate attaining the highest loss
+    x_best_adv: jax.Array  # last iterate observed misclassified (or last iterate)
+    loss_best: jax.Array   # (B,) best loss per example
+    acc: jax.Array         # (B,) bool: still classified correctly at every step
+
+
+def _checkpoint_schedule(n_iter: int, norm: str):
+    """Unroll the counter3/k bookkeeping into static per-iteration arrays.
+
+    Returns (is_ckpt[n_iter] bool, window[n_iter] int): window is the
+    oscillation-check span `k` in effect at each checkpoint iteration
+    (before its decrement), matching reference apgd_train.py:150-170,329-355.
+    """
+    if norm in ("linf", "l2"):
+        k = max(int(0.22 * n_iter), 1)
+        n_iter_min = max(int(0.06 * n_iter), 1)
+        size_decr = max(int(0.03 * n_iter), 1)
+    else:  # l1
+        k = max(int(0.04 * n_iter), 1)
+        n_iter_min = size_decr = 0  # k never decays for l1
+    is_ckpt = np.zeros(n_iter, dtype=bool)
+    window = np.zeros(n_iter, dtype=np.int32)
+    counter3 = 0
+    for i in range(n_iter):
+        counter3 += 1
+        if counter3 == k:
+            is_ckpt[i] = True
+            window[i] = k
+            counter3 = 0
+            if norm in ("linf", "l2"):
+                k = max(k - size_decr, n_iter_min)
+    return jnp.asarray(is_ckpt), jnp.asarray(window)
+
+
+def _oscillation_count(hist: jax.Array, i: jax.Array, k: jax.Array) -> jax.Array:
+    """t[b] = #{ j in (i-k, i] : hist[j] > hist[j-1 mod n_iter] }.
+
+    The mod reproduces the reference's torch negative-index wraparound when the
+    first checkpoint reads hist[-1] (a still-zero row); see
+    reference apgd_train.py:117-122.
+    """
+    n_iter = hist.shape[0]
+    prev = jnp.roll(hist, 1, axis=0)
+    increased = (hist > prev).astype(jnp.float32)  # (n_iter, B)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_iter, 1), 0)
+    in_window = ((j > i - k) & (j <= i)).astype(jnp.float32)
+    return jnp.sum(increased * in_window, axis=0)  # (B,)
+
+
+def _random_init(rng, x, eps, norm):
+    """Canonical APGD random start (reference autopgd_base.py:210-222)."""
+    if norm == "linf":
+        t = 2.0 * jax.random.uniform(rng, x.shape, x.dtype) - 1.0
+        return x + eps * lp_normalize(t, "linf")
+    if norm == "l2":
+        t = jax.random.normal(rng, x.shape, x.dtype)
+        return x + eps * lp_normalize(t, "l2")
+    # l1
+    t = jax.random.normal(rng, x.shape, x.dtype)
+    return x + t + l1_ball_projection(x, t, eps)
+
+
+def apgd_attack(
+    model_fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    y: Optional[jax.Array] = None,
+    *,
+    criterion: Callable[[jax.Array, Optional[jax.Array]], jax.Array],
+    eps: float,
+    n_iter: int = 100,
+    norm: str = "linf",
+    alpha: Optional[float] = None,
+    initial_stepsize: Optional[float] = None,
+    use_rs: bool = False,
+    rng: Optional[jax.Array] = None,
+    x_init: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    topk_init: Optional[float] = None,
+    use_fused_kernel: bool = True,
+) -> APGDResult:
+    """Run APGD, maximizing `criterion(model_fn(x_adv), y)` per example.
+
+    Args:
+      model_fn: pure fn(x_adv in [0,1]) -> logits or embeddings; normalization
+        lives inside (threat-model contract).
+      x: clean images in [0,1], (B, ...).
+      y: integer labels (B,) used for accuracy tracking and by the criterion;
+        None disables accuracy tracking (x_best_adv then tracks the last
+        iterate, the effective behavior of FARE's unsupervised inner attack).
+      criterion: fn(out, y) -> (B,) per-example loss to maximize.
+      eps: ball radius; n_iter: static step count; norm: linf/l2/l1.
+      alpha: initial step-size multiplier (step = alpha * eps); defaults to the
+        reference's 2.0 (linf/l2) / 1.0 (l1). `initial_stepsize` (absolute
+        units) overrides alpha, per reference apgd_train.py:168-169.
+      use_rs: canonical random start; requires rng.
+      x_init: explicit warm start (ensemble chaining / decr-eps schedules).
+      mask: optional gradient multiplier (VLM context-frame masking).
+      topk_init: l1 sparsity init (.2 eval / .05 train, apgd_train.py:161).
+    """
+    norm = canonical_norm(norm)
+    if norm not in ("linf", "l2", "l1"):
+        raise ValueError(f"apgd: unsupported norm {norm}")
+    b = x.shape[0]
+    n_fts = math.prod(x.shape[1:])
+    track_acc = y is not None
+
+    if alpha is None:
+        alpha = 2.0 if norm in ("linf", "l2") else 1.0
+    if initial_stepsize is not None:
+        alpha = initial_stepsize / eps
+
+    # --- init point
+    if x_init is not None:
+        x_adv = x_init
+    elif use_rs:
+        if rng is None:
+            raise ValueError("use_rs=True requires rng")
+        x_adv = _random_init(rng, x, eps, norm)
+    else:
+        x_adv = x
+    x_adv = jnp.clip(x_adv, 0.0, 1.0)
+
+    # --- loss/grad closure
+    def total_loss(xa):
+        out = model_fn(xa)
+        li = criterion(out, y)
+        return jnp.sum(li), (li, out)
+
+    grad_fn = jax.value_and_grad(total_loss, has_aux=True)
+
+    def eval_point(xa):
+        (_, (loss_indiv, out)), grad = grad_fn(xa)
+        if mask is not None:
+            grad = grad * mask
+        if track_acc:
+            pred_correct = jnp.argmax(out, axis=-1) == y
+        else:
+            pred_correct = jnp.zeros((b,), bool)
+        return loss_indiv, grad, pred_correct
+
+    loss_indiv0, grad0, correct0 = eval_point(x_adv)
+
+    is_ckpt, window = _checkpoint_schedule(n_iter, norm)
+
+    step_size0 = jnp.full((b,), alpha * eps, x.dtype)
+    carry = dict(
+        x_adv=x_adv,
+        x_adv_old=x_adv,
+        grad=grad0,
+        grad_best=grad0,
+        x_best=x_adv,
+        x_best_adv=x_adv,
+        loss_best=loss_indiv0,
+        loss_best_last_check=loss_indiv0,
+        reduced_last_check=jnp.ones((b,), x.dtype),
+        step_size=step_size0,
+        acc=correct0,
+        hist=jnp.zeros((n_iter, b), jnp.float32),
+    )
+    if norm == "l1":
+        if topk_init is None:
+            topk_init = 0.2
+        if x_init is None:
+            carry["topk"] = jnp.full((b,), topk_init, x.dtype)
+            carry["sp_old"] = jnp.full((b,), float(n_fts), x.dtype)
+        else:
+            sp0 = l0_norm(x_adv - x)
+            carry["topk"] = (sp0 / n_fts / 1.5).astype(x.dtype)
+            carry["sp_old"] = sp0.astype(x.dtype)
+
+    def expand(v):  # (B,) -> broadcastable over image dims
+        return v.reshape(-1, *([1] * (x.ndim - 1)))
+
+    def step_linf(c, a):
+        return fused_linf_apgd_step(
+            c["x_adv"], c["x_adv_old"], c["grad"], x, c["step_size"], eps, a,
+            use_pallas=None if use_fused_kernel else False,
+        )
+
+    def step_l2(c, a):
+        x_adv, grad = c["x_adv"], c["grad"]
+        z = x_adv + expand(c["step_size"]) * lp_normalize(grad, "l2")
+        d = z - x
+        z = jnp.clip(
+            x + lp_normalize(d, "l2") * jnp.minimum(eps, l2_norm(d, keepdims=True)),
+            0.0, 1.0,
+        )
+        z = x_adv + (z - x_adv) * a + (x_adv - c["x_adv_old"]) * (1.0 - a)
+        d = z - x
+        return jnp.clip(
+            x + lp_normalize(d, "l2") * jnp.minimum(eps, l2_norm(d, keepdims=True)),
+            0.0, 1.0,
+        )
+
+    def step_l1(c, a):
+        del a  # the reference l1 branch has no momentum blend
+        x_adv, grad = c["x_adv"], c["grad"]
+        gabs = jnp.abs(grad.reshape(b, -1))
+        gsort = jnp.sort(gabs, axis=-1)  # ascending
+        topk_curr = jnp.clip(
+            ((1.0 - c["topk"]) * n_fts).astype(jnp.int32), 0, n_fts - 1
+        )
+        thr = expand(jnp.take_along_axis(gsort, topk_curr[:, None], axis=1)[:, 0])
+        sparse = grad * (jnp.abs(grad) >= thr).astype(grad.dtype)
+        ssign = jnp.sign(sparse)
+        denom = jnp.sum(jnp.abs(ssign.reshape(b, -1)), axis=-1) + 1e-10
+        z = x_adv + expand(c["step_size"]) * ssign / expand(denom)
+        delta_u = z - x
+        return x + delta_u + l1_ball_projection(x, delta_u, eps)
+
+    step_fns = {"linf": step_linf, "l2": step_l2, "l1": step_l1}
+    step_fn = step_fns[norm]
+
+    def body(c, xs):
+        i, ck, kwin = xs["i"], xs["is_ckpt"], xs["window"]
+        a = jnp.where(i > 0, 0.75, 1.0).astype(x.dtype)
+
+        x_new = step_fn(c, a)
+        c = dict(c, x_adv_old=c["x_adv"], x_adv=x_new)
+
+        loss_indiv, grad, pred_correct = eval_point(c["x_adv"])
+        acc = jnp.logical_and(c["acc"], pred_correct) if track_acc else c["acc"]
+        fooled = jnp.logical_not(pred_correct)
+        x_best_adv = jnp.where(expand(fooled), c["x_adv"], c["x_best_adv"])
+
+        # best tracking (strictly-greater, reference apgd_train.py:321-327)
+        improved = loss_indiv > c["loss_best"]
+        imx = expand(improved)
+        x_best = jnp.where(imx, c["x_adv"], c["x_best"])
+        grad_best = jnp.where(imx, grad, c["grad_best"])
+        loss_best = jnp.where(improved, loss_indiv, c["loss_best"])
+
+        hist = jax.lax.dynamic_update_slice(
+            c["hist"], loss_indiv.astype(jnp.float32)[None, :], (i, 0)
+        )
+
+        c = dict(
+            c,
+            grad=grad,
+            acc=acc,
+            x_best_adv=x_best_adv,
+            x_best=x_best,
+            grad_best=grad_best,
+            loss_best=loss_best,
+            hist=hist,
+        )
+
+        if norm in ("linf", "l2"):
+            # oscillation check at static checkpoints
+            t = _oscillation_count(hist, i, kwin)
+            fl_osc = (t <= kwin.astype(jnp.float32) * 0.75).astype(x.dtype)
+            fl_no_impr = (1.0 - c["reduced_last_check"]) * (
+                c["loss_best_last_check"] >= loss_best
+            ).astype(x.dtype)
+            fl = jnp.maximum(fl_osc, fl_no_impr)
+            halve = jnp.logical_and(ck, fl > 0)
+
+            step_size = jnp.where(halve, c["step_size"] / 2.0, c["step_size"])
+            x_adv2 = jnp.where(expand(halve), x_best, c["x_adv"])
+            grad2 = jnp.where(expand(halve), grad_best, grad)
+            reduced_last_check = jnp.where(ck, fl, c["reduced_last_check"])
+            loss_best_last_check = jnp.where(
+                ck, loss_best, c["loss_best_last_check"]
+            )
+            c = dict(
+                c,
+                step_size=step_size,
+                x_adv=x_adv2,
+                grad=grad2,
+                reduced_last_check=reduced_last_check,
+                loss_best_last_check=loss_best_last_check,
+            )
+        else:  # l1 sparsity adaptation (reference apgd_train.py:357-370)
+            sp_curr = l0_norm(x_best - x).astype(x.dtype)
+            fl_red = (sp_curr / c["sp_old"]) < 0.95
+            new_topk = sp_curr / n_fts / 1.5
+            step_up = jnp.full_like(c["step_size"], alpha * eps)
+            step_dn = c["step_size"] / 1.5
+            step_size = jnp.clip(
+                jnp.where(fl_red, step_up, step_dn),
+                alpha * eps / 10.0,
+                alpha * eps,
+            )
+            c = dict(
+                c,
+                step_size=jnp.where(ck, step_size, c["step_size"]),
+                topk=jnp.where(ck, new_topk, c["topk"]),
+                sp_old=jnp.where(ck, sp_curr, c["sp_old"]),
+                x_adv=jnp.where(expand(jnp.logical_and(ck, fl_red)), x_best, c["x_adv"]),
+                grad=jnp.where(expand(jnp.logical_and(ck, fl_red)), grad_best, grad),
+            )
+        return c, None
+
+    xs = dict(
+        i=jnp.arange(n_iter, dtype=jnp.int32),
+        is_ckpt=is_ckpt,
+        window=window,
+    )
+    carry, _ = jax.lax.scan(body, carry, xs)
+
+    return APGDResult(
+        x_best=jax.lax.stop_gradient(carry["x_best"]),
+        x_best_adv=jax.lax.stop_gradient(carry["x_best_adv"]),
+        loss_best=jax.lax.stop_gradient(carry["loss_best"]),
+        acc=carry["acc"],
+    )

@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip sharding paths are exercised on a fake 8-device CPU mesh
+(XLA --xla_force_host_platform_device_count), per the test strategy in
+SURVEY.md §4. Must run before jax initializes its backends.
+"""
+
+import os
+
+# Force CPU: the session environment pins JAX_PLATFORMS=axon (the remote TPU
+# tunnel), which must not be used for the test suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
