@@ -1,0 +1,311 @@
+"""CLIP (vision + text) as pure functions over parameter pytrees.
+
+Replaces the reference's external open_clip dependency (SURVEY.md §2.7): the
+openai-architecture ViT-B/32 and ViT-L/14(-336) vision towers with QuickGELU,
+and the 77-token causal text tower with argmax-EOT pooling, numerically
+matching open_clip's `model.visual(normalize(x))` / `model.encode_text` so
+published torch checkpoints import losslessly (see import_torch.py).
+
+TPU-first design decisions:
+- Transformer blocks are *stacked*: per-layer weights share one leading layer
+  axis and the depth loop is a `jax.lax.scan` — O(1) compile time in depth and
+  a single fused block kernel instance.
+- The patch conv is a reshape + one big matmul (MXU), not a conv.
+- Attention uses einsum with fp32 softmax; activations can run in bfloat16
+  (`compute_dtype`) while LayerNorm statistics stay fp32.
+- Optional `remat` wraps each block in `jax.checkpoint` so grad-wrt-pixels
+  attack chains (10-100 sequential fwd+bwd) fit HBM at large batch.
+
+Parameter tree (all leaves jnp arrays; L = n_layers, W = width):
+  visual:
+    patch_embed (3*p*p, W), class_embedding (W,), positional_embedding (N+1, W)
+    ln_pre {g,b}, blocks {ln_1{g,b}(L,W), attn{qkv_w(L,W,3W), qkv_b(L,3W),
+    out_w(L,W,W), out_b(L,W)}, ln_2{g,b}, mlp{fc_w(L,W,4W), fc_b(L,4W),
+    proj_w(L,4W,W), proj_b(L,W)}}, ln_post {g,b}, proj (W, D)
+  text:
+    token_embedding (V, Wt), positional_embedding (77, Wt), blocks {...},
+    ln_final {g,b}, text_projection (Wt, D)
+  logit_scale: scalar (log of temperature; exp() ~ 100 for openai ckpts)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    width: int
+    layers: int
+    heads: int
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    name: str
+    embed_dim: int
+    image_size: int
+    patch_size: int
+    vision: TransformerConfig
+    text: TransformerConfig
+    vocab_size: int = 49408
+    context_length: int = 77
+    quick_gelu: bool = True  # openai pretrained models use QuickGELU
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def n_vision_tokens(self) -> int:
+        return self.grid * self.grid + 1
+
+
+CLIP_CONFIGS: Dict[str, CLIPConfig] = {
+    "ViT-B-32": CLIPConfig(
+        "ViT-B-32", 512, 224, 32,
+        TransformerConfig(768, 12, 12), TransformerConfig(512, 12, 8),
+    ),
+    "ViT-B-16": CLIPConfig(
+        "ViT-B-16", 512, 224, 16,
+        TransformerConfig(768, 12, 12), TransformerConfig(512, 12, 8),
+    ),
+    "ViT-L-14": CLIPConfig(
+        "ViT-L-14", 768, 224, 14,
+        TransformerConfig(1024, 24, 16), TransformerConfig(768, 12, 12),
+    ),
+    "ViT-L-14-336": CLIPConfig(
+        "ViT-L-14-336", 768, 336, 14,
+        TransformerConfig(1024, 24, 16), TransformerConfig(768, 12, 12),
+    ),
+    # tiny config for tests
+    "test-tiny": CLIPConfig(
+        "test-tiny", 64, 32, 8,
+        TransformerConfig(64, 2, 4), TransformerConfig(64, 2, 4),
+        vocab_size=512, context_length=16,
+    ),
+}
+
+
+# ----------------------------------------------------------------- primitives
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm with fp32 statistics regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attention(x: jax.Array, p: Params, heads: int, attn_mask: Optional[jax.Array]) -> jax.Array:
+    b, n, w = x.shape
+    hd = w // heads
+    qkv = x @ p["qkv_w"] + p["qkv_b"]  # (B, N, 3W)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_split(t):
+        return t.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)  # (B,H,N,hd)
+
+    q, k, v = heads_split(q), heads_split(k), heads_split(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+    if attn_mask is not None:
+        scores = scores + attn_mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, w)
+    return out @ p["out_w"] + p["out_b"]
+
+
+def _block(x, bp, heads, act, attn_mask):
+    x = x + _attention(layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"]), bp["attn"], heads, attn_mask)
+    h = layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"])
+    h = act(h @ bp["mlp"]["fc_w"] + bp["mlp"]["fc_b"])
+    return x + (h @ bp["mlp"]["proj_w"] + bp["mlp"]["proj_b"])
+
+
+def _transformer(
+    x: jax.Array,
+    blocks: Params,
+    heads: int,
+    act,
+    attn_mask: Optional[jax.Array] = None,
+    remat: bool = False,
+    n_skip_last: int = 0,
+) -> jax.Array:
+    """Scan over stacked transformer blocks.
+
+    n_skip_last: statically drop the last k blocks (the robust LLaVA vision
+    tower uses the penultimate layer, reference clip_encoder.py:59).
+    """
+    n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    n_run = n_layers - n_skip_last
+
+    def body(h, bp):
+        return _block(h, bp, heads, act, attn_mask), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    run_blocks = jax.tree.map(lambda a: a[:n_run], blocks) if n_skip_last else blocks
+    x, _ = jax.lax.scan(body, x, run_blocks)
+    return x
+
+
+# ----------------------------------------------------------------- vision
+def vision_forward(
+    params: Params,
+    x: jax.Array,
+    cfg: CLIPConfig,
+    *,
+    normalize: bool = False,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    tokens: bool = False,
+    n_skip_last: int = 0,
+) -> jax.Array:
+    """ViT image encoder: NCHW normalized pixels -> (B, embed_dim) embedding.
+
+    `tokens=True` returns all patch-token features after the (partial)
+    transformer without ln_post/proj — the LLaVA tower interface.
+    Matches open_clip VisionTransformer semantics for openai checkpoints.
+    """
+    vp = params["visual"]
+    b = x.shape[0]
+    p = cfg.patch_size
+    g = x.shape[-1] // p  # grid from actual input size
+
+    x = x.astype(compute_dtype)
+    # patch embed as matmul: (B,3,H,W) -> (B, g*g, 3*p*p) @ (3*p*p, W)
+    x = x.reshape(b, 3, g, p, g, p).transpose(0, 2, 4, 1, 3, 5).reshape(b, g * g, 3 * p * p)
+    x = x @ vp["patch_embed"].astype(compute_dtype)
+
+    cls = jnp.broadcast_to(
+        vp["class_embedding"].astype(compute_dtype), (b, 1, x.shape[-1])
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vp["positional_embedding"].astype(compute_dtype)
+    x = layer_norm(x, vp["ln_pre"]["g"], vp["ln_pre"]["b"])
+
+    act = quick_gelu if cfg.quick_gelu else jax.nn.gelu
+    x = _transformer(
+        x, vp["blocks"], cfg.vision.heads, act, remat=remat, n_skip_last=n_skip_last
+    )
+
+    if tokens:
+        return x.astype(jnp.float32)
+
+    x = layer_norm(x[:, 0], vp["ln_post"]["g"], vp["ln_post"]["b"])
+    x = x @ vp["proj"].astype(compute_dtype)
+    x = x.astype(jnp.float32)
+    if normalize:
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    return x
+
+
+def encode_image(
+    params: Params,
+    x: jax.Array,
+    cfg: CLIPConfig,
+    *,
+    normalize: bool = False,
+    **kw,
+) -> jax.Array:
+    return vision_forward(params, x, cfg, normalize=normalize, **kw)
+
+
+# ----------------------------------------------------------------- text
+def encode_text(
+    params: Params,
+    tokens: jax.Array,
+    cfg: CLIPConfig,
+    *,
+    normalize: bool = False,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Text encoder: (B, context_length) int tokens -> (B, embed_dim).
+
+    Causal transformer; pooled at the argmax token id (EOT has the highest id),
+    matching open_clip's encode_text.
+    """
+    tp = params["text"]
+    x = tp["token_embedding"][tokens].astype(compute_dtype)  # (B, T, W)
+    x = x + tp["positional_embedding"][: x.shape[1]].astype(compute_dtype)
+
+    t = x.shape[1]
+    causal = jnp.triu(jnp.full((t, t), -jnp.inf, compute_dtype), k=1)
+
+    act = quick_gelu if cfg.quick_gelu else jax.nn.gelu
+    x = _transformer(x, tp["blocks"], cfg.text.heads, act, attn_mask=causal)
+
+    x = layer_norm(x, tp["ln_final"]["g"], tp["ln_final"]["b"])
+    eot = jnp.argmax(tokens, axis=-1)
+    x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    x = (x @ tp["text_projection"].astype(compute_dtype)).astype(jnp.float32)
+    if normalize:
+        x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+    return x
+
+
+# ----------------------------------------------------------------- init
+def _init_ln(l, w):
+    return {"g": jnp.ones((l, w)), "b": jnp.zeros((l, w))}
+
+
+def _init_blocks(rng, tcfg: TransformerConfig):
+    l, w = tcfg.layers, tcfg.width
+    k = jax.random.split(rng, 4)
+    s = w ** -0.5
+    return {
+        "ln_1": _init_ln(l, w),
+        "attn": {
+            "qkv_w": jax.random.normal(k[0], (l, w, 3 * w)) * s,
+            "qkv_b": jnp.zeros((l, 3 * w)),
+            "out_w": jax.random.normal(k[1], (l, w, w)) * s,
+            "out_b": jnp.zeros((l, w)),
+        },
+        "ln_2": _init_ln(l, w),
+        "mlp": {
+            "fc_w": jax.random.normal(k[2], (l, w, 4 * w)) * s,
+            "fc_b": jnp.zeros((l, 4 * w)),
+            "proj_w": jax.random.normal(k[3], (l, 4 * w, w)) * s,
+            "proj_b": jnp.zeros((l, w)),
+        },
+    }
+
+
+def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
+    """Random init (scaled-normal) — for tests and from-scratch experiments;
+    real use imports pretrained torch checkpoints (import_torch.py)."""
+    kv, kt, k1, k2, k3, k4, k5 = jax.random.split(rng, 7)
+    wv, wt = cfg.vision.width, cfg.text.width
+    p = cfg.patch_size
+    sv, st = wv ** -0.5, wt ** -0.5
+    return {
+        "visual": {
+            "patch_embed": jax.random.normal(k1, (3 * p * p, wv)) * sv,
+            "class_embedding": jax.random.normal(k2, (wv,)) * sv,
+            "positional_embedding": jax.random.normal(k3, (cfg.n_vision_tokens, wv)) * sv,
+            "ln_pre": {"g": jnp.ones(wv), "b": jnp.zeros(wv)},
+            "blocks": _init_blocks(kv, cfg.vision),
+            "ln_post": {"g": jnp.ones(wv), "b": jnp.zeros(wv)},
+            "proj": jax.random.normal(k4, (wv, cfg.embed_dim)) * sv,
+        },
+        "text": {
+            "token_embedding": jax.random.normal(k5, (cfg.vocab_size, wt)) * 0.02,
+            "positional_embedding": jax.random.normal(kt, (cfg.context_length, wt)) * 0.01,
+            "blocks": _init_blocks(kt, cfg.text),
+            "ln_final": {"g": jnp.ones(wt), "b": jnp.zeros(wt)},
+            "text_projection": jax.random.normal(kt, (wt, cfg.embed_dim)) * st,
+        },
+        "logit_scale": jnp.asarray(jnp.log(1 / 0.07), jnp.float32),
+    }

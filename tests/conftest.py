@@ -19,3 +19,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# JAX's default matmul precision truncates to bf16 passes even on CPU; parity
+# tests against torch f32 oracles need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
