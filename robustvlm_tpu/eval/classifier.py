@@ -1,0 +1,126 @@
+"""Zero-shot classification wrappers (the threat-model adapter layer, L2).
+
+Equivalent of reference CLIP_eval/clip_robustbench.py:50-69 (ClassificationModel)
+and the text-classifier builders (:184-227): logits are
+`logit_scale * normalize(encode_image(normalize_clip(resize(x)))) @ T` with the
+(optionally template-ensembled) class text embedding matrix T of shape (D, C).
+
+Everything returns *pure jitted closures over [0,1] pixel inputs*, preserving
+the reference invariant that attacks see raw pixels and differentiation flows
+through resize + normalization.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from robustvlm_tpu.models.clip.model import CLIPConfig, encode_image, encode_text
+from robustvlm_tpu.ops.image import normalize_clip, resize_bicubic
+
+STD_TEMPLATE = "This is a photo of a {}"
+
+
+def build_text_classifier(
+    params,
+    cfg: CLIPConfig,
+    tokenize: Callable[[Sequence[str]], jax.Array],
+    classnames: Sequence[str],
+    templates: Optional[Sequence[str]] = None,
+    chunk_size: int = 500,
+) -> jax.Array:
+    """(D, C) column-normalized class embedding matrix.
+
+    templates=None -> the std single template; otherwise the 80-template
+    ensemble: per class, encode all templates, mean of normalized embeddings,
+    re-normalized (reference clip_robustbench.py:209-222).
+    """
+    if templates is None:
+        texts = [STD_TEMPLATE.format(c) for c in classnames]
+        embs = []
+        for i in range(0, len(texts), chunk_size):
+            toks = tokenize(texts[i : i + chunk_size])
+            embs.append(encode_text(params, toks, cfg, normalize=True))
+        mat = jnp.concatenate(embs, axis=0).T  # (D, C)
+    else:
+        cols = []
+        for c in classnames:
+            toks = tokenize([t.format(c=c) if "{c}" in t else t.format(c) for t in templates])
+            e = encode_text(params, toks, cfg, normalize=True).mean(axis=0)
+            cols.append(e / jnp.linalg.norm(e))
+        mat = jnp.stack(cols, axis=1)
+    return mat
+
+
+def make_zero_shot_classifier(
+    params,
+    cfg: CLIPConfig,
+    text_embedding: jax.Array,
+    *,
+    logit_scale: Optional[float] = 100.0,
+    resize_to: Optional[int] = None,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    jit: bool = True,
+) -> Callable[[jax.Array], jax.Array]:
+    """fn(x01 NCHW) -> (B, C) logits; normalization/resize inside the closure.
+
+    logit_scale=None multiplies by exp(params['logit_scale']) like the
+    reference's `logit_scale=True` path; a float uses that fixed scale; 0/1.0
+    disables scaling.
+    """
+    if logit_scale is None:
+        scale = jnp.exp(params["logit_scale"])
+    else:
+        scale = jnp.asarray(logit_scale, jnp.float32)
+
+    def logits_fn(x):
+        if resize_to is not None:
+            x = resize_bicubic(x, resize_to)
+        e = encode_image(
+            params,
+            normalize_clip(x),
+            cfg,
+            normalize=True,
+            compute_dtype=compute_dtype,
+            remat=remat,
+        )
+        return (e @ text_embedding) * scale
+
+    return jax.jit(logits_fn) if jit else logits_fn
+
+
+def make_embedding_fn(
+    params,
+    cfg: CLIPConfig,
+    *,
+    output_normalize: bool = False,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+):
+    """fn(x01) -> (B, D) embedding — the ClipVisionModel wrapper (reference
+    adversarial_training_clip.py:246-257) used by FARE/TeCoA training."""
+
+    def fn(x):
+        return encode_image(
+            params,
+            normalize_clip(x),
+            cfg,
+            normalize=output_normalize,
+            compute_dtype=compute_dtype,
+            remat=remat,
+        )
+
+    return fn
+
+
+def accuracy(logits_fn, x, y, batch_size: int = 256) -> float:
+    """Batched top-1 accuracy (reference eval_utils.py:88-112)."""
+    n = x.shape[0]
+    correct = 0
+    for i in range(0, n, batch_size):
+        out = logits_fn(x[i : i + batch_size])
+        correct += int(jnp.sum(jnp.argmax(out, -1) == y[i : i + batch_size]))
+    return correct / n
