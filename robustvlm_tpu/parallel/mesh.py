@@ -1,0 +1,112 @@
+"""Device mesh and sharding layer — the entire distributed-communication story.
+
+Replaces the reference's torch DataParallel / DDP / FSDP plumbing
+(SURVEY.md §2.6; reference adversarial_training_clip.py:184-191,
+open_flamingo/src/flamingo.py:252-351) with one declarative module:
+
+- mesh axes: ("data", "fsdp", "model").
+  * data  — batch/data parallel over ICI; per-example attack state (x_adv,
+    step sizes, best-tracking) lives with its example and shards trivially.
+  * fsdp  — ZeRO-3-style parameter sharding: weights sharded at rest,
+    all-gathered by XLA on use (only needed for the 7B VLM language models).
+  * model — Megatron-style tensor parallelism inside attention/MLP blocks.
+- no explicit collectives anywhere: shardings are declared with
+  NamedSharding/PartitionSpec and XLA inserts all-gather/psum/reduce-scatter
+  over ICI. (Pipeline and expert parallelism have no workload here: the
+  reference's models are dense and fit a pod slice; documented, not built.)
+
+All functions degrade gracefully to a single device.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "fsdp", "model")
+
+
+def make_mesh(
+    data: int = -1,
+    fsdp: int = 1,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Create a ("data", "fsdp", "model") mesh. data=-1 uses all remaining
+    devices. Axis order puts `model` innermost so TP collectives ride the
+    fastest ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        data = n // (fsdp * model)
+    if data * fsdp * model != n:
+        raise ValueError(f"mesh {data}x{fsdp}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, fsdp, model)
+    return Mesh(arr, AXES)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading batch axis over ("data", "fsdp") — fsdp doubles as a
+    second data axis for activations, the standard FSDP recipe."""
+    spec = P(("data", "fsdp"), *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+# Param-path regex -> PartitionSpec builder. Stacked-block tensors carry a
+# leading layer axis (never sharded); TP shards the head/ffn dimension, FSDP
+# shards the other large dimension.
+_RULES: Tuple[Tuple[str, P], ...] = (
+    # attention: qkv columns (heads) on model, rows on fsdp
+    (r".*blocks.*attn.*qkv_w$", P(None, "fsdp", "model")),
+    (r".*blocks.*attn.*qkv_b$", P(None, "model")),
+    (r".*blocks.*attn.*out_w$", P(None, "model", "fsdp")),
+    (r".*blocks.*attn.*out_b$", P(None)),
+    # mlp: fc columns on model, proj rows on model
+    (r".*blocks.*mlp.*fc_w$", P(None, "fsdp", "model")),
+    (r".*blocks.*mlp.*fc_b$", P(None, "model")),
+    (r".*blocks.*mlp.*proj_w$", P(None, "model", "fsdp")),
+    (r".*blocks.*mlp.*proj_b$", P(None)),
+    # embeddings / projections: shard the wide axis on fsdp
+    (r".*patch_embed$", P("fsdp", None)),
+    (r".*token_embedding$", P("fsdp", None)),
+    (r".*positional_embedding$", P(None)),
+    (r".*(proj|text_projection)$", P("fsdp", None)),
+)
+
+
+def _spec_for(path: str) -> P:
+    for pat, spec in _RULES:
+        if re.match(pat, path):
+            return spec
+    return P()  # replicate (layernorms, scalars, class embedding)
+
+
+def param_sharding_rules(params, mesh: Mesh):
+    """Pytree of NamedShardings for a CLIP param tree (TP over 'model', ZeRO-3
+    over 'fsdp', replicated across 'data')."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
+        )
+
+    leaves = {path_str(kp): NamedSharding(mesh, _spec_for(path_str(kp))) for kp, _ in flat}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [leaves[path_str(kp)] for kp, _ in flat]
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param tree onto the mesh according to the TP/FSDP rules."""
+    shardings = param_sharding_rules(params, mesh)
+    return jax.device_put(params, shardings)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
