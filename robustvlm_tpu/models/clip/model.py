@@ -108,7 +108,13 @@ def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float = 1e-5) -> j
     return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
 
 
-def _attention(x: jax.Array, p: Params, heads: int, attn_mask: Optional[jax.Array]) -> jax.Array:
+def _attention(
+    x: jax.Array,
+    p: Params,
+    heads: int,
+    attn_mask: Optional[jax.Array],
+    flash: bool = False,
+) -> jax.Array:
     b, n, w = x.shape
     hd = w // heads
     qkv = x @ p["qkv_w"] + p["qkv_b"]  # (B, N, 3W)
@@ -118,20 +124,36 @@ def _attention(x: jax.Array, p: Params, heads: int, attn_mask: Optional[jax.Arra
         return t.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)  # (B,H,N,hd)
 
     q, k, v = heads_split(q), heads_split(k), heads_split(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
-    if attn_mask is not None:
-        scores = scores + attn_mask
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if flash:
+        # fused Pallas kernel (ops/pallas/flash_attention.py); attn_mask only
+        # ever encodes causality in CLIP, which the kernel handles natively
+        from robustvlm_tpu.ops.pallas.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, causal=attn_mask is not None)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        if attn_mask is not None:
+            scores = scores + attn_mask
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, w)
     return out @ p["out_w"] + p["out_b"]
 
 
-def _block(x, bp, heads, act, attn_mask):
-    x = x + _attention(layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"]), bp["attn"], heads, attn_mask)
+def _block(x, bp, heads, act, attn_mask, flash=False):
+    x = x + _attention(
+        layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"]), bp["attn"], heads,
+        attn_mask, flash=flash,
+    )
     h = layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"])
     h = act(h @ bp["mlp"]["fc_w"] + bp["mlp"]["fc_b"])
     return x + (h @ bp["mlp"]["proj_w"] + bp["mlp"]["proj_b"])
+
+
+def use_flash_default() -> bool:
+    """Flash attention by default on TPU only (the XLA einsum path is the
+    oracle elsewhere)."""
+    return jax.default_backend() == "tpu"
 
 
 def _transformer(
@@ -142,17 +164,20 @@ def _transformer(
     attn_mask: Optional[jax.Array] = None,
     remat: bool = False,
     n_skip_last: int = 0,
+    flash: Optional[bool] = None,
 ) -> jax.Array:
     """Scan over stacked transformer blocks.
 
     n_skip_last: statically drop the last k blocks (the robust LLaVA vision
     tower uses the penultimate layer, reference clip_encoder.py:59).
     """
+    if flash is None:
+        flash = use_flash_default()
     n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
     n_run = n_layers - n_skip_last
 
     def body(h, bp):
-        return _block(h, bp, heads, act, attn_mask), None
+        return _block(h, bp, heads, act, attn_mask, flash=flash), None
 
     if remat:
         body = jax.checkpoint(body)
@@ -172,6 +197,7 @@ def vision_forward(
     remat: bool = False,
     tokens: bool = False,
     n_skip_last: int = 0,
+    flash: Optional[bool] = None,
 ) -> jax.Array:
     """ViT image encoder: NCHW normalized pixels -> (B, embed_dim) embedding.
 
@@ -198,7 +224,8 @@ def vision_forward(
 
     act = quick_gelu if cfg.quick_gelu else jax.nn.gelu
     x = _transformer(
-        x, vp["blocks"], cfg.vision.heads, act, remat=remat, n_skip_last=n_skip_last
+        x, vp["blocks"], cfg.vision.heads, act, remat=remat,
+        n_skip_last=n_skip_last, flash=flash,
     )
 
     if tokens:
