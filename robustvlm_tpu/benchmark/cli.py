@@ -1,0 +1,160 @@
+"""Zero-shot benchmark CLI: models x datasets x tasks runner.
+
+Usage mirror of reference `clip_benchmark.cli` (CLIP_benchmark/
+clip_benchmark/cli.py:20-71 flags, :140-151 product loop):
+
+  python -m robustvlm_tpu.benchmark.cli eval \
+      --model ViT-B-32 --pretrained /ckpt/openai_b32.pt \
+      --dataset cifar10 --dataset_root /data/cifar10 \
+      --task zeroshot_classification --attack aa --eps 2 \
+      --output results/{model}_{dataset}_{task}.json
+
+Collections: --model/--dataset accept comma lists or @file with one entry
+per line (the reference's models.txt/datasets.txt mechanism, cli.py:104-130).
+eps is in /255 units.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import time
+from pathlib import Path
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _expand(arg: str) -> List[str]:
+    if arg.startswith("@"):
+        return [
+            l.strip() for l in Path(arg[1:]).read_text().splitlines()
+            if l.strip() and not l.startswith("#")
+        ]
+    return [a for a in arg.split(",") if a]
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="zero-shot benchmark suite (TPU)")
+    p.add_argument("command", choices=["eval"], nargs="?", default="eval")
+    p.add_argument("--model", default="ViT-B-32",
+                   help="comma list or @file of CLIP config names")
+    p.add_argument("--pretrained", default="",
+                   help="comma list or @file of checkpoints (parallel to --model; "
+                        "'random' = random init)")
+    p.add_argument("--dataset", default="cifar10", help="comma list or @file")
+    p.add_argument("--dataset_root", default=".")
+    p.add_argument("--split", default="test")
+    p.add_argument("--task", default="zeroshot_classification",
+                   choices=["zeroshot_classification", "zeroshot_retrieval",
+                            "linear_probe", "image_caption_selection"])
+    p.add_argument("--attack", default=None, choices=[None, "none", "aa"])
+    p.add_argument("--eps", type=float, default=2.0, help="in /255 units")
+    p.add_argument("--n_iter", type=int, default=100)
+    p.add_argument("--n_samples", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--template", default="ensemble", choices=["std", "ensemble"])
+    p.add_argument("--bpe_path", default="")
+    p.add_argument("--compute_dtype", default="float32")
+    p.add_argument("--output", default="{model}_{dataset}_{task}.json")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def run_one(args, model_name: str, pretrained: str, dataset: str) -> dict:
+    from robustvlm_tpu.benchmark import builder, templates, zeroshot
+    from robustvlm_tpu.eval.classifier import make_zero_shot_classifier
+    from robustvlm_tpu.models.clip import (
+        CLIP_CONFIGS, init_clip_params, load_clip_checkpoint,
+    )
+    from robustvlm_tpu.models.clip.tokenizer import get_tokenizer
+
+    cfg = CLIP_CONFIGS[model_name]
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    if pretrained and pretrained != "random":
+        params = load_clip_checkpoint(pretrained, cfg, base_params=params)
+    tok = get_tokenizer(args.bpe_path or None, cfg.context_length)
+    tokenize = lambda t: jnp.asarray(tok(t))
+
+    size = 32 if dataset == "cifar10" else cfg.image_size
+    data = builder.build_dataset(
+        dataset, args.dataset_root, split=args.split, size=size,
+        batch_size=args.batch_size, n_samples=args.n_samples,
+    )
+    compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    t0 = time.time()
+    if args.task == "zeroshot_classification":
+        classnames = templates.get_classnames(dataset if dataset != "synthetic" else "cifar10")
+        tpls = (
+            templates.get_templates(dataset)
+            if args.template == "ensemble"
+            else [templates.STD_TEMPLATE + ""]
+        )
+        classifier = zeroshot.zero_shot_classifier(
+            params, cfg, tokenize, classnames, tpls
+        )
+        # CIFAR path attacks at native 32x32 with in-model resize
+        # (reference clip_robustbench.py:105-114)
+        logits_fn = make_zero_shot_classifier(
+            params, cfg, classifier,
+            resize_to=cfg.image_size if size != cfg.image_size else None,
+            compute_dtype=compute_dtype,
+        )
+        attack = args.attack if args.attack not in (None, "none") else None
+        metrics = zeroshot.run_classification(
+            logits_fn, data, attack=attack, eps=args.eps / 255.0,
+            n_iter=args.n_iter, n_samples=args.n_samples,
+            batch_size=args.batch_size, verbose=args.verbose,
+        )
+    elif args.task == "linear_probe":
+        from robustvlm_tpu.benchmark.linear_probe import evaluate_linear_probe
+        from robustvlm_tpu.eval.classifier import make_embedding_fn
+        train_data = builder.build_dataset(
+            dataset, args.dataset_root, split="train", size=size,
+            batch_size=args.batch_size, n_samples=args.n_samples,
+        )
+        classnames = templates.get_classnames(dataset if dataset != "synthetic" else "cifar10")
+        embed_fn = jax.jit(make_embedding_fn(params, cfg, output_normalize=True))
+        metrics = evaluate_linear_probe(
+            embed_fn, train_data, data, n_classes=len(classnames)
+        )
+    else:
+        raise NotImplementedError(
+            f"task {args.task} needs a captions dataset adapter"
+        )
+
+    return {
+        "model": model_name,
+        "pretrained": pretrained,
+        "dataset": dataset,
+        "task": args.task,
+        "metrics": metrics,
+        "eps": args.eps,
+        "attack": args.attack,
+        "wall_s": round(time.time() - t0, 2),
+    }
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    models = _expand(args.model)
+    pretrained = _expand(args.pretrained) if args.pretrained else [""] * len(models)
+    datasets = _expand(args.dataset)
+    results = []
+    for (m, pt), ds in itertools.product(zip(models, pretrained), datasets):
+        res = run_one(args, m, pt, ds)
+        results.append(res)
+        out = Path(args.output.format(model=m, dataset=ds.replace("/", "_"),
+                                      task=args.task))
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(res, indent=2))
+        print(json.dumps(res))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -180,6 +180,16 @@ def load_clip_checkpoint(
         sd = sd["vision_encoder_state_dict"]
 
     if beta is not None and interpolate_with is not None:
+        if isinstance(interpolate_with, str):
+            import torch
+
+            interpolate_with = torch.load(
+                interpolate_with, map_location="cpu", weights_only=False
+            )
+            if hasattr(interpolate_with, "state_dict"):
+                interpolate_with = interpolate_with.state_dict()
+            if "vision_encoder_state_dict" in interpolate_with:
+                interpolate_with = interpolate_with["vision_encoder_state_dict"]
         sd = _interpolate(sd, interpolate_with, beta)
 
     if "visual.conv1.weight" in sd:
