@@ -222,7 +222,7 @@ def vision_forward(
     x = x + vp["positional_embedding"].astype(compute_dtype)
     x = layer_norm(x, vp["ln_pre"]["g"], vp["ln_pre"]["b"])
 
-    act = quick_gelu if cfg.quick_gelu else jax.nn.gelu
+    act = quick_gelu if cfg.quick_gelu else partial(jax.nn.gelu, approximate=False)
     x = _transformer(
         x, vp["blocks"], cfg.vision.heads, act, remat=remat,
         n_skip_last=n_skip_last, flash=flash,
@@ -271,7 +271,7 @@ def encode_text(
     t = x.shape[1]
     causal = jnp.triu(jnp.full((t, t), -jnp.inf, compute_dtype), k=1)
 
-    act = quick_gelu if cfg.quick_gelu else jax.nn.gelu
+    act = quick_gelu if cfg.quick_gelu else partial(jax.nn.gelu, approximate=False)
     x = _transformer(x, tp["blocks"], cfg.text.heads, act, attn_mask=causal)
 
     x = layer_norm(x, tp["ln_final"]["g"], tp["ln_final"]["b"])

@@ -1,0 +1,289 @@
+"""LLaMA/Vicuna decoder as pure functions over parameter pytrees.
+
+The language backbone for LLaVA-1.5 (reference llava/model/language_model/
+llava_llama.py wraps HF LlamaForCausalLM; here the transformer is native):
+RMSNorm, rotary position embeddings, SwiGLU MLP, causal multi-head attention
+(optional grouped KV heads), untied LM head. HF `LlamaForCausalLM` weight
+import in import_torch.py.
+
+TPU-first:
+- stacked-block scan (O(1) compile time in depth), bf16 activations with
+  fp32 RMSNorm statistics and fp32 logits;
+- causal attention through the Pallas flash kernel on TPU (XLA einsum
+  elsewhere);
+- `inputs_embeds` entry point for the multimodal splice (LLaVA inserts
+  projected image patches into the token embedding sequence, reference
+  llava_arch.py:95-212);
+- decode path with a static-shape KV cache updated via dynamic_update_slice
+  (generation in models/generation.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    name: str
+    dim: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    ffn_dim: int
+    vocab_size: int
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_seq_len: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+
+LLAMA_CONFIGS: Dict[str, LlamaConfig] = {
+    # Vicuna-7B-v1.5 (the LLaVA-1.5-7B LM) == LLaMA-2-7B geometry
+    "llama-7b": LlamaConfig("llama-7b", 4096, 32, 32, 32, 11008, 32000,
+                            max_seq_len=4096),
+    "test-tiny": LlamaConfig("test-tiny", 64, 2, 4, 4, 128, 512,
+                             max_seq_len=128),
+    # tiny GQA variant for tests
+    "test-tiny-gqa": LlamaConfig("test-tiny-gqa", 64, 2, 4, 2, 128, 512,
+                                 max_seq_len=128),
+}
+
+
+def rms_norm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale).astype(x.dtype) * g.astype(x.dtype)
+
+
+def rope_freqs(cfg: LlamaConfig, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables (B?, T, head_dim/2) for given integer positions."""
+    hd = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    ang = positions.astype(jnp.float32)[..., None] * inv  # (..., T, hd/2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x (B, H, T, hd); cos/sin (T, hd/2) or (B, T, hd/2). HF half-split
+    convention: rotate_half(x) = (-x2, x1) with x1 = x[..., :hd/2]."""
+    hd2 = x.shape[-1] // 2
+    x1, x2 = x[..., :hd2], x[..., hd2:]
+    if cos.ndim == 2:
+        cos = cos[None, None]
+        sin = sin[None, None]
+    else:
+        cos = cos[:, None]
+        sin = sin[:, None]
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    b, h, t, d = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None], (b, h, n_rep, t, d)
+    ).reshape(b, h * n_rep, t, d)
+
+
+def _attn(q, k, v, *, causal: bool, flash: bool, q_positions=None,
+          kv_mask=None):
+    """q (B,Hq,Tq,hd), k/v (B,Hkv,Tk,hd). For cached decode (Tq < Tk) the
+    causal structure is encoded by masking j > pos_q explicitly; kv_mask
+    (B, Tk) additionally masks invalid (padding / unwritten) key slots."""
+    n_rep = q.shape[1] // k.shape[1]
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    if flash and q.shape[2] == k.shape[2] and kv_mask is None:
+        from robustvlm_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal)
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    tq, tk = q.shape[2], k.shape[2]
+    mask = None
+    if causal:
+        if q_positions is None:
+            qpos = jnp.arange(tq) + (tk - tq)
+        else:
+            qpos = q_positions
+        jj = jnp.arange(tk)
+        if qpos.ndim == 1:
+            mask = (jj[None, :] <= qpos[:, None])[None]  # (1, Tq, Tk)
+        else:  # per-example positions (B, Tq)
+            mask = jj[None, None, :] <= qpos[:, :, None]  # (B, Tq, Tk)
+    if kv_mask is not None:
+        km = kv_mask[:, None, :]  # (B, 1, Tk)
+        mask = km if mask is None else (mask & km)
+    if mask is not None:
+        s = jnp.where(mask[:, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _block(x, bp, cfg: LlamaConfig, cos, sin, *, flash, cache=None, pos=None,
+           kv_mask=None):
+    """One decoder layer. cache: optional dict {k, v} with static (B, Hkv,
+    max_seq, hd) buffers; pos: scalar write offset for decode; kv_mask
+    (B, cache_len) marks valid key slots (padding-aware generation)."""
+    b, t, _ = x.shape
+    h = rms_norm(x, bp["attn_norm"], cfg.norm_eps)
+    q = (h @ bp["attn"]["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = (h @ bp["attn"]["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = (h @ bp["attn"]["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if cache is not None:
+        ck = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
+        )
+        new_cache = {"k": ck, "v": cv}
+        kk, vv = ck, cv
+        # mask out not-yet-written cache slots via causal masking on position
+        qpos = pos + jnp.arange(t)
+        att = _attn(q, kk, vv, causal=True, flash=False, q_positions=qpos,
+                    kv_mask=kv_mask)
+    else:
+        att = _attn(q, k, v, causal=True, flash=flash, kv_mask=kv_mask)
+
+    att = att.transpose(0, 2, 1, 3).reshape(b, t, cfg.dim)
+    x = x + att @ bp["attn"]["wo"]
+
+    h = rms_norm(x, bp["ffn_norm"], cfg.norm_eps)
+    gate = jax.nn.silu(h @ bp["mlp"]["w_gate"])
+    up = h @ bp["mlp"]["w_up"]
+    x = x + (gate * up) @ bp["mlp"]["w_down"]
+    return x, new_cache
+
+
+def llama_forward(
+    params: Params,
+    tokens: Optional[jax.Array] = None,
+    *,
+    cfg: LlamaConfig,
+    inputs_embeds: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    flash: Optional[bool] = None,
+    cache: Optional[Dict] = None,
+    cache_pos: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,
+    return_hidden: bool = False,
+):
+    """Causal LM forward -> fp32 logits (B, T, V).
+
+    Exactly one of `tokens` / `inputs_embeds` must be given; `inputs_embeds`
+    is the LLaVA splice entry. With `cache`+`cache_pos`, runs the decode
+    path (per-layer KV buffers, scanned over the stacked layer axis) and
+    returns (logits, new_cache). `kv_mask` (B, Tk) marks valid key slots
+    for left-padded batched generation.
+    """
+    if flash is None:
+        flash = jax.default_backend() == "tpu"
+    if inputs_embeds is None:
+        inputs_embeds = params["tok_embedding"][tokens]
+    x = inputs_embeds.astype(compute_dtype)
+    b, t, _ = x.shape
+    if positions is None:
+        start = cache_pos if cache_pos is not None else 0
+        positions = start + jnp.arange(t)
+    cos, sin = rope_freqs(cfg, positions)
+
+    blocks = params["blocks"]
+    if cache is not None:
+        cache_len = cache["k"].shape[3]
+        if kv_mask is not None and kv_mask.shape[1] < cache_len:
+            # pad to cache length: unwritten slots are invalid keys (also
+            # excluded by the causal slot mask)
+            kv_mask = jnp.concatenate(
+                [
+                    kv_mask,
+                    jnp.zeros((b, cache_len - kv_mask.shape[1]), bool),
+                ],
+                axis=1,
+            )
+
+        def body(h, layer):
+            bp, c = layer
+            out, nc = _block(
+                h, bp, cfg, cos, sin, flash=False,
+                cache=c, pos=cache_pos, kv_mask=kv_mask,
+            )
+            return out, nc
+
+        x, new_cache = jax.lax.scan(body, x, (blocks, cache))
+        h = rms_norm(x, params["norm"], cfg.norm_eps)
+        logits = (h @ params["lm_head"].astype(compute_dtype)).astype(jnp.float32)
+        return logits, new_cache
+
+    def body(h, bp):
+        out, _ = _block(h, bp, cfg, cos, sin, flash=flash, kv_mask=kv_mask)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, blocks)
+    x = rms_norm(x, params["norm"], cfg.norm_eps)
+    if return_hidden:
+        return x
+    return (x @ params["lm_head"].astype(compute_dtype)).astype(jnp.float32)
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None,
+               dtype=jnp.bfloat16):
+    """Stacked per-layer KV buffers (L, B, Hkv, N, hd) — scanned jointly with
+    the stacked blocks in the decode path."""
+    n = max_len or cfg.max_seq_len
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, n, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    """Random init for tests; real use imports HF checkpoints."""
+    ks = jax.random.split(rng, 8)
+    s = cfg.dim ** -0.5
+    l = cfg.n_layers
+
+    def nrm(k, shape, scale):
+        return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+    return {
+        "tok_embedding": nrm(ks[0], (cfg.vocab_size, cfg.dim), 0.02),
+        "blocks": {
+            "attn_norm": jnp.ones((l, cfg.dim), dtype),
+            "ffn_norm": jnp.ones((l, cfg.dim), dtype),
+            "attn": {
+                "wq": nrm(ks[1], (l, cfg.dim, cfg.dim), s),
+                "wk": nrm(ks[2], (l, cfg.dim, cfg.n_kv_heads * cfg.head_dim), s),
+                "wv": nrm(ks[3], (l, cfg.dim, cfg.n_kv_heads * cfg.head_dim), s),
+                "wo": nrm(ks[4], (l, cfg.dim, cfg.dim), s),
+            },
+            "mlp": {
+                "w_gate": nrm(ks[5], (l, cfg.dim, cfg.ffn_dim), s),
+                "w_up": nrm(ks[6], (l, cfg.dim, cfg.ffn_dim), s),
+                "w_down": nrm(ks[7], (l, cfg.ffn_dim, cfg.dim), cfg.ffn_dim ** -0.5),
+            },
+        },
+        "norm": jnp.ones((cfg.dim,), dtype),
+        "lm_head": nrm(ks[0], (cfg.dim, cfg.vocab_size), s),
+    }

@@ -1,0 +1,259 @@
+"""LLaVA-1.5: CLIP vision tower -> MLP projector -> LLaMA token splice.
+
+Functional equivalent of reference llava/model/llava_arch.py
+(`encode_images` :90-93, `prepare_inputs_labels_for_multimodal` :95-212) and
+the robustified vision tower llava/model/multimodal_encoder/clip_encoder.py
+(:31-138): the robust path loads an open_clip ViT-L/14 visual tower, DROPS
+ITS LAST TRANSFORMER BLOCK (penultimate-layer features, clip_encoder.py:59),
+keeps all patch tokens, no projection; `feature_select` drops the CLS token
+(:76-89). The HF-tower path (select_layer=-2) is the same computation.
+
+TPU-first: the splice is static — prompts are tokenized host-side and split
+at the <image> placeholder into (pre, post) token arrays, so the spliced
+embedding sequence has a fixed length and the whole teacher-forced
+loss-vs-pixels forward (the attack target) jits into one graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from robustvlm_tpu.models.clip.model import CLIPConfig, CLIP_CONFIGS, vision_forward
+from robustvlm_tpu.models.llama.model import (
+    LLAMA_CONFIGS,
+    LlamaConfig,
+    llama_forward,
+)
+from robustvlm_tpu.ops.image import normalize_clip, resize_bicubic
+
+Params = Dict[str, Any]
+
+IMAGE_TOKEN_INDEX = -200  # reference llava/constants.py
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    name: str
+    llama: LlamaConfig
+    vision: CLIPConfig
+    projector_type: str = "mlp2x_gelu"  # or "linear"
+    # robust open_clip tower: drop last vision block, use raw patch tokens
+    drop_last_vision_block: bool = True
+
+    @property
+    def n_image_tokens(self) -> int:
+        return self.vision.grid * self.vision.grid  # CLS dropped
+
+
+LLAVA_CONFIGS: Dict[str, LlavaConfig] = {
+    # LLaVA-1.5-7B: ViT-L/14-336 tower (576 tokens) + Vicuna-7B
+    "llava-1.5-7b": LlavaConfig(
+        "llava-1.5-7b", LLAMA_CONFIGS["llama-7b"], CLIP_CONFIGS["ViT-L-14-336"],
+    ),
+    # robustified tower variant: 224px open_clip ViT-L/14 (256 tokens)
+    "llava-1.5-7b-rob": LlavaConfig(
+        "llava-1.5-7b-rob", LLAMA_CONFIGS["llama-7b"], CLIP_CONFIGS["ViT-L-14"],
+    ),
+    "test-tiny": LlavaConfig(
+        "test-tiny", LLAMA_CONFIGS["test-tiny"], CLIP_CONFIGS["test-tiny"],
+    ),
+}
+
+
+def encode_images(
+    params: Params,
+    pixels01: jax.Array,
+    cfg: LlavaConfig,
+    *,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> jax.Array:
+    """[0,1] NCHW pixels -> (B, n_image_tokens, llama_dim) projected patch
+    features. CLIP normalization + resize live INSIDE (threat-model
+    contract); CLS dropped (feature_select 'patch')."""
+    x = pixels01
+    if x.shape[-1] != cfg.vision.image_size:
+        x = resize_bicubic(x, cfg.vision.image_size)
+    feats = vision_forward(
+        {"visual": params["vision"]}, normalize_clip(x), cfg.vision,
+        tokens=True,
+        n_skip_last=1 if cfg.drop_last_vision_block else 0,
+        compute_dtype=compute_dtype, remat=remat,
+    )  # (B, 1+P, W)
+    feats = feats[:, 1:]  # drop CLS
+    p = params["projector"]
+    if cfg.projector_type == "linear":
+        return feats @ p["w1"] + p["b1"]
+    h = jax.nn.gelu(feats @ p["w1"] + p["b1"], approximate=False)
+    return h @ p["w2"] + p["b2"]
+
+
+def splice_embeddings(
+    params: Params,
+    image_feats: jax.Array,
+    pre_tokens: jax.Array,
+    post_tokens: jax.Array,
+) -> jax.Array:
+    """[embed(pre); image; embed(post)] — the reference splice at
+    IMAGE_TOKEN_INDEX (llava_arch.py:130-160) with static shapes."""
+    emb = params["llama"]["tok_embedding"]
+    pre = emb[pre_tokens]
+    post = emb[post_tokens]
+    return jnp.concatenate(
+        [pre, image_feats.astype(pre.dtype), post], axis=1
+    )
+
+
+def llava_forward(
+    params: Params,
+    pixels01: jax.Array,
+    pre_tokens: jax.Array,
+    post_tokens: jax.Array,
+    cfg: LlavaConfig,
+    *,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    flash: Optional[bool] = None,
+) -> jax.Array:
+    """Full multimodal forward -> fp32 logits (B, T_pre+P+T_post, V)."""
+    img = encode_images(
+        params, pixels01, cfg, compute_dtype=compute_dtype, remat=remat
+    )
+    embeds = splice_embeddings(params, img, pre_tokens, post_tokens)
+    return llama_forward(
+        params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+        compute_dtype=compute_dtype, remat=remat, flash=flash,
+    )
+
+
+def llava_per_sample_loss(
+    params: Params,
+    pixels01: jax.Array,
+    pre_tokens: jax.Array,
+    post_tokens: jax.Array,
+    labels: jax.Array,
+    label_mask: jax.Array,
+    cfg: LlavaConfig,
+    *,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    reduction_per_token: str = "mean",
+) -> jax.Array:
+    """Teacher-forced per-sample CE over the answer span — the attack target
+    (reference EvalModelLLAVA.__call__ returns HF-internal CE over labels
+    masked up to 'ASSISTANT:', models/llava.py:98-133).
+
+    labels/label_mask are (B, T_post): the loss is computed ONLY on post
+    tokens (prompt prefix and image span always masked). `reduction_per_token`:
+    'mean' matches HF CE (mean over unmasked tokens); 'sum' matches the
+    Flamingo adapter's summed CE (of_eval_model_adv.py:245-254).
+    """
+    logits = llava_forward(
+        params, pixels01, pre_tokens, post_tokens, cfg,
+        compute_dtype=compute_dtype, remat=remat,
+    )
+    t_post = post_tokens.shape[1]
+    # logits predicting post_tokens[t] live at absolute position (T-t_post+t-1)
+    pred = logits[:, -t_post - 1 : -1]  # (B, T_post, V)
+    lp = jax.nn.log_softmax(pred, axis=-1)
+    tok_lp = jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
+    masked = tok_lp * label_mask
+    if reduction_per_token == "mean":
+        return -jnp.sum(masked, axis=-1) / jnp.maximum(
+            jnp.sum(label_mask, axis=-1), 1.0
+        )
+    return -jnp.sum(masked, axis=-1)
+
+
+# ------------------------------------------------------------------ generate
+def make_llava_decode_fns(
+    params: Params,
+    cfg: LlavaConfig,
+    pixels01: jax.Array,
+    pre_tokens: jax.Array,
+    *,
+    max_total_len: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """(prefill_fn, decode_fn) for models/generation.py: prefill runs the
+    vision tower + splice once; decode steps run the LM only."""
+    from robustvlm_tpu.models.llama.model import init_cache
+
+    img = encode_images(params, pixels01, cfg, compute_dtype=compute_dtype)
+    t_prefix = pre_tokens.shape[1] + cfg.n_image_tokens  # static
+
+    def prefill_fn(tokens, kv_valid, positions):
+        # tokens here are the POST tokens; full prompt = pre + image + post
+        b = tokens.shape[0]
+        n_rep = b // img.shape[0]
+        img_r = jnp.repeat(img, n_rep, axis=0) if n_rep > 1 else img
+        pre_r = jnp.repeat(pre_tokens, n_rep, axis=0) if n_rep > 1 else pre_tokens
+        embeds = splice_embeddings(params, img_r, pre_r, tokens)
+        kv_valid_full = jnp.concatenate(
+            [jnp.ones((b, t_prefix), bool), kv_valid], axis=1
+        )
+        pos_full = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.arange(t_prefix)[None], (b, t_prefix)),
+                t_prefix + positions,
+            ],
+            axis=1,
+        )
+        cache = init_cache(
+            cfg.llama, b, max_len=t_prefix + max_total_len,
+            dtype=compute_dtype,
+        )
+        logits, cache = llama_forward(
+            params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+            positions=pos_full, compute_dtype=compute_dtype,
+            cache=cache, cache_pos=0, kv_mask=kv_valid_full,
+        )
+        return logits[:, -1], cache
+
+    def decode_fn(tok, cache, pos, kv_mask, qpos):
+        b = tok.shape[0]
+        kv_mask_full = jnp.concatenate(
+            [jnp.ones((b, t_prefix), bool), kv_mask], axis=1
+        )
+        logits, cache = llama_forward(
+            params["llama"], tok, cfg=cfg.llama,
+            positions=t_prefix + qpos, compute_dtype=compute_dtype,
+            cache=cache, cache_pos=t_prefix + pos, kv_mask=kv_mask_full,
+        )
+        return logits, cache
+
+    return prefill_fn, decode_fn
+
+
+# ---------------------------------------------------------------------- init
+def init_llava_params(rng: jax.Array, cfg: LlavaConfig) -> Params:
+    from robustvlm_tpu.models.clip.model import init_clip_params
+    from robustvlm_tpu.models.llama.model import init_llama_params
+
+    kv, kl, kp = jax.random.split(rng, 3)
+    clip = init_clip_params(kv, cfg.vision)
+    wv, d = cfg.vision.vision.width, cfg.llama.dim
+    s = wv ** -0.5
+    if cfg.projector_type == "linear":
+        proj = {
+            "w1": jax.random.normal(kp, (wv, d)) * s,
+            "b1": jnp.zeros((d,)),
+        }
+    else:
+        k1, k2 = jax.random.split(kp)
+        proj = {
+            "w1": jax.random.normal(k1, (wv, d)) * s,
+            "b1": jnp.zeros((d,)),
+            "w2": jax.random.normal(k2, (d, d)) * d ** -0.5,
+            "b2": jnp.zeros((d,)),
+        }
+    return {
+        "vision": clip["visual"],
+        "projector": proj,
+        "llama": init_llama_params(kl, cfg.llama),
+    }

@@ -1,0 +1,164 @@
+"""LLaVA: multimodal splice, teacher-forced loss (attack target), HF vision
+tower import parity, generation smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robustvlm_tpu.models.generation import greedy_generate, left_pad
+from robustvlm_tpu.models.llava.conversation import (
+    answer_span,
+    get_caption_prompt,
+    get_vqa_prompt,
+    split_at_image,
+)
+from robustvlm_tpu.models.llava.model import (
+    LLAVA_CONFIGS,
+    init_llava_params,
+    llava_forward,
+    llava_per_sample_loss,
+    make_llava_decode_fns,
+)
+
+CFG = LLAVA_CONFIGS["test-tiny"]
+
+
+def _inputs(b=2, t_pre=3, t_post=5, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.rand(b, 3, CFG.vision.image_size, CFG.vision.image_size).astype(np.float32))
+    pre = jnp.asarray(rng.randint(0, CFG.llama.vocab_size, (b, t_pre)))
+    post = jnp.asarray(rng.randint(0, CFG.llama.vocab_size, (b, t_post)))
+    return x, pre, post
+
+
+class TestForward:
+    def test_shapes(self):
+        params = init_llava_params(jax.random.PRNGKey(0), CFG)
+        x, pre, post = _inputs()
+        logits = llava_forward(params, x, pre, post, CFG, compute_dtype=jnp.float32)
+        t_expected = pre.shape[1] + CFG.n_image_tokens + post.shape[1]
+        assert logits.shape == (2, t_expected, CFG.llama.vocab_size)
+
+    def test_image_affects_logits(self):
+        params = init_llava_params(jax.random.PRNGKey(0), CFG)
+        x, pre, post = _inputs()
+        l1 = llava_forward(params, x, pre, post, CFG, compute_dtype=jnp.float32)
+        l2 = llava_forward(params, x + 0.05, pre, post, CFG, compute_dtype=jnp.float32)
+        assert np.abs(np.asarray(l1 - l2)).max() > 1e-4
+
+
+class TestLoss:
+    def test_per_sample_and_grad(self):
+        """The attack target: per-sample loss, differentiable wrt pixels."""
+        params = init_llava_params(jax.random.PRNGKey(0), CFG)
+        x, pre, post = _inputs()
+        labels = post
+        mask = jnp.ones_like(post, jnp.float32).at[:, :2].set(0.0)  # mask ctx
+
+        def loss_fn(xx):
+            return jnp.sum(
+                llava_per_sample_loss(
+                    params, xx, pre, post, labels, mask, CFG,
+                    compute_dtype=jnp.float32,
+                )
+            )
+
+        l, g = jax.value_and_grad(loss_fn)(x)
+        assert np.isfinite(float(l))
+        assert float(jnp.abs(g).max()) > 0
+
+        per = llava_per_sample_loss(
+            params, x, pre, post, labels, mask, CFG, compute_dtype=jnp.float32
+        )
+        assert per.shape == (2,)
+
+    def test_mask_effect(self):
+        params = init_llava_params(jax.random.PRNGKey(0), CFG)
+        x, pre, post = _inputs()
+        full = llava_per_sample_loss(
+            params, x, pre, post, post, jnp.ones_like(post, jnp.float32),
+            CFG, compute_dtype=jnp.float32, reduction_per_token="sum",
+        )
+        half_mask = jnp.ones_like(post, jnp.float32).at[:, : post.shape[1] // 2].set(0.0)
+        half = llava_per_sample_loss(
+            params, x, pre, post, post, half_mask,
+            CFG, compute_dtype=jnp.float32, reduction_per_token="sum",
+        )
+        assert (np.asarray(half) <= np.asarray(full) + 1e-5).all()
+
+
+class TestHFVisionImport:
+    def test_tower_matches_hf(self):
+        torch = pytest.importorskip("torch")
+        from transformers import CLIPVisionConfig, CLIPVisionModel
+
+        from robustvlm_tpu.models.clip.model import CLIPConfig, TransformerConfig, vision_forward
+        from robustvlm_tpu.models.llava.import_torch import import_hf_clip_vision
+
+        vc = CLIPConfig(
+            "hf-tiny", 64, 32, 8, TransformerConfig(64, 2, 4),
+            TransformerConfig(64, 2, 4), quick_gelu=False,
+        )
+        hf_cfg = CLIPVisionConfig(
+            hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+            hidden_act="gelu", layer_norm_eps=1e-5,
+        )
+        torch.manual_seed(0)
+        hf = CLIPVisionModel(hf_cfg).eval()
+        sd = {"pfx." + k: v for k, v in hf.state_dict().items()}
+        visual = import_hf_clip_vision(sd, vc, "pfx.")
+
+        x = np.random.RandomState(0).rand(2, 3, 32, 32).astype(np.float32)
+        with torch.no_grad():
+            # hidden_states[-2] == output of all-but-last encoder layer
+            # (pre final layernorm) — what LLaVA consumes (select_layer=-2)
+            out = hf(torch.from_numpy(x), output_hidden_states=True)
+            ref = out.hidden_states[-2].numpy()
+        ours = np.asarray(
+            vision_forward(
+                {"visual": visual}, jnp.asarray(x), vc, tokens=True,
+                n_skip_last=1, compute_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
+
+
+class TestGeneration:
+    def test_greedy_smoke_and_image_dependence(self):
+        params = init_llava_params(jax.random.PRNGKey(0), CFG)
+        x, pre, _ = _inputs(b=1)
+        post, n_pad = left_pad([[7, 8, 9]])
+        pf, df = make_llava_decode_fns(
+            params, CFG, x, pre[:1], max_total_len=12, compute_dtype=jnp.float32
+        )
+        r1 = greedy_generate(
+            pf, df, jnp.asarray(post), jnp.asarray(n_pad),
+            max_new_tokens=4, eos_id=-1,
+        )
+        assert r1.tokens.shape == (1, 4)
+        pf2, df2 = make_llava_decode_fns(
+            params, CFG, jnp.clip(x + 0.3, 0, 1), pre[:1], max_total_len=12,
+            compute_dtype=jnp.float32,
+        )
+        r2 = greedy_generate(
+            pf2, df2, jnp.asarray(post), jnp.asarray(n_pad),
+            max_new_tokens=4, eos_id=-1,
+        )
+        # different image -> (almost surely) different continuation scores
+        assert float(abs(r1.scores[0] - r2.scores[0])) > 1e-6
+
+
+class TestConversation:
+    def test_vqa_prompt_structure(self):
+        p = get_vqa_prompt("What is this?", "a cat")
+        assert "<image>" in p and "USER:" in p and "ASSISTANT:" in p
+        pre, post = split_at_image(p)
+        assert "<image>" not in pre + post
+
+    def test_answer_span(self):
+        p = get_caption_prompt("a dog on grass")
+        ctx, ans = answer_span(p)
+        assert ctx.endswith("ASSISTANT:")
+        assert "a dog on grass" in ans
