@@ -123,6 +123,8 @@ def apgd_attack(
     mask: Optional[jax.Array] = None,
     topk_init: Optional[float] = None,
     use_fused_kernel: bool = True,
+    eot_iter: int = 1,
+    model_rng_fn: Optional[Callable] = None,
 ) -> APGDResult:
     """Run APGD, maximizing `criterion(model_fn(x_adv), y)` per example.
 
@@ -166,16 +168,37 @@ def apgd_attack(
         x_adv = x
     x_adv = jnp.clip(x_adv, 0.0, 1.0)
 
-    # --- loss/grad closure
-    def total_loss(xa):
-        out = model_fn(xa)
+    # --- loss/grad closure, with optional EOT averaging over stochastic
+    # model passes (reference autopgd_base.py:370-390; model_rng_fn(x, key)
+    # runs the randomized model — deterministic models ignore eot_iter > 1)
+    def total_loss(xa, key=None):
+        out = model_fn(xa) if model_rng_fn is None else model_rng_fn(xa, key)
         li = criterion(out, y)
         return jnp.sum(li), (li, out)
 
     grad_fn = jax.value_and_grad(total_loss, has_aux=True)
 
+    eot_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
     def eval_point(xa):
-        (_, (loss_indiv, out)), grad = grad_fn(xa)
+        if eot_iter <= 1 or model_rng_fn is None:
+            (_, (loss_indiv, out)), grad = grad_fn(
+                xa, None if model_rng_fn is None else eot_rng
+            )
+        else:
+            def eot_body(carry, key):
+                g_acc, l_acc = carry
+                (_, (li, out_i)), g = grad_fn(xa, key)
+                return (g_acc + g, l_acc + li), out_i
+
+            keys = jax.random.split(eot_rng, eot_iter)
+            (g_sum, l_sum), outs = jax.lax.scan(
+                eot_body, (jnp.zeros_like(xa), jnp.zeros((b,), jnp.float32)),
+                keys,
+            )
+            grad = g_sum / eot_iter
+            loss_indiv = l_sum / eot_iter
+            out = outs[-1]
         if mask is not None:
             grad = grad * mask
         if track_acc:

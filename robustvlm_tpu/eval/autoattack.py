@@ -136,12 +136,20 @@ class AutoAttackTPU:
                 still = still & ~fooled
             return adv
         if attack == "square":
-            if self.norm != "linf":
-                raise NotImplementedError("square attack: linf only for now")
-            res = square_attack_linf(
-                self.logits_fn, xb, yb, eps=self.eps,
-                n_queries=self.square_n_queries, rng=rng,
-            )
+            if self.norm == "linf":
+                res = square_attack_linf(
+                    self.logits_fn, xb, yb, eps=self.eps,
+                    n_queries=self.square_n_queries, rng=rng,
+                )
+            elif self.norm == "l2":
+                from robustvlm_tpu.attacks.square import square_attack_l2
+
+                res = square_attack_l2(
+                    self.logits_fn, xb, yb, eps=self.eps,
+                    n_queries=self.square_n_queries, rng=rng,
+                )
+            else:
+                raise NotImplementedError(f"square attack: norm {self.norm}")
             return res.x_adv
         raise ValueError(f"unknown attack: {attack}")
 

@@ -117,7 +117,8 @@ def _attention(
 ) -> jax.Array:
     b, n, w = x.shape
     hd = w // heads
-    qkv = x @ p["qkv_w"] + p["qkv_b"]  # (B, N, 3W)
+    cd = x.dtype
+    qkv = x @ p["qkv_w"].astype(cd) + p["qkv_b"].astype(cd)  # (B, N, 3W)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads_split(t):
@@ -137,7 +138,7 @@ def _attention(
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, w)
-    return out @ p["out_w"] + p["out_b"]
+    return out @ p["out_w"].astype(cd) + p["out_b"].astype(cd)
 
 
 def _block(x, bp, heads, act, attn_mask, flash=False):
@@ -145,9 +146,10 @@ def _block(x, bp, heads, act, attn_mask, flash=False):
         layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"]), bp["attn"], heads,
         attn_mask, flash=flash,
     )
+    cd = x.dtype
     h = layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"])
-    h = act(h @ bp["mlp"]["fc_w"] + bp["mlp"]["fc_b"])
-    return x + (h @ bp["mlp"]["proj_w"] + bp["mlp"]["proj_b"])
+    h = act(h @ bp["mlp"]["fc_w"].astype(cd) + bp["mlp"]["fc_b"].astype(cd))
+    return x + (h @ bp["mlp"]["proj_w"].astype(cd) + bp["mlp"]["proj_b"].astype(cd))
 
 
 def use_flash_default() -> bool:

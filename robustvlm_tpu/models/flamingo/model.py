@@ -83,18 +83,20 @@ def _ln(x, g, b):
 
 def _ff(x, p):
     """FeedForward: LN -> Linear(4x, no bias) -> GELU -> Linear (helpers.py:15-22)."""
+    cd = x.dtype
     h = _ln(x, p["ln_g"], p["ln_b"])
-    return jax.nn.gelu(h @ p["w1"], approximate=False) @ p["w2"]
+    return jax.nn.gelu(h @ p["w1"].astype(cd), approximate=False) @ p["w2"].astype(cd)
 
 
 # ----------------------------------------------------------------- resampler
 def perceiver_attention(x, latents, p, heads: int):
     """x (B,T,n1,D) media, latents (B,T,n2,D) -> (B,T,n2,D)."""
+    cd = x.dtype
     x = _ln(x, p["ln_media_g"], p["ln_media_b"])
     latents = _ln(latents, p["ln_lat_g"], p["ln_lat_b"])
-    q = latents @ p["to_q"]
+    q = latents @ p["to_q"].astype(cd)
     kv_in = jnp.concatenate([x, latents], axis=-2)
-    k, v = jnp.split(kv_in @ p["to_kv"], 2, axis=-1)
+    k, v = jnp.split(kv_in @ p["to_kv"].astype(cd), 2, axis=-1)
     b, t, n2, inner = q.shape
     hd = inner // heads
 
@@ -106,7 +108,7 @@ def perceiver_attention(x, latents, p, heads: int):
     a = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     out = jnp.einsum("bthij,bthjd->bthid", a, v)
     out = out.transpose(0, 1, 3, 2, 4).reshape(b, t, n2, inner)
-    return out @ p["to_out"]
+    return out @ p["to_out"].astype(cd)
 
 
 def perceiver_resampler(params: Params, x: jax.Array, cfg: FlamingoConfig) -> jax.Array:
@@ -139,10 +141,11 @@ def masked_cross_attention(
     (helpers.py:160-233)."""
     b, t_txt, _ = x.shape
     t_img, n_lat = media.shape[1], media.shape[2]
+    cd = x.dtype
     h = _ln(x, p["ln_g"], p["ln_b"])
-    q = h @ p["to_q"]
+    q = h @ p["to_q"].astype(cd)
     m = media.reshape(b, t_img * n_lat, media.shape[-1])
-    k, v = jnp.split(m.astype(x.dtype) @ p["to_kv"], 2, axis=-1)
+    k, v = jnp.split(m.astype(cd) @ p["to_kv"].astype(cd), 2, axis=-1)
     inner = q.shape[-1]
     hd = inner // heads
 
@@ -172,7 +175,7 @@ def masked_cross_attention(
 
     out = jnp.einsum("bhij,bhjd->bhid", a, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t_txt, inner)
-    return out @ p["to_out"]
+    return out @ p["to_out"].astype(cd)
 
 
 def gated_xattn_block(x, media, p, heads, media_locations, use_cached_media=False):

@@ -141,10 +141,12 @@ def _block(x, bp, cfg: LlamaConfig, cos, sin, *, flash, cache=None, pos=None,
     max_seq, hd) buffers; pos: scalar write offset for decode; kv_mask
     (B, cache_len) marks valid key slots (padding-aware generation)."""
     b, t, _ = x.shape
+    cd = x.dtype
+    W = lambda a: a.astype(cd)
     h = rms_norm(x, bp["attn_norm"], cfg.norm_eps)
-    q = (h @ bp["attn"]["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = (h @ bp["attn"]["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = (h @ bp["attn"]["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = (h @ W(bp["attn"]["wq"])).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = (h @ W(bp["attn"]["wk"])).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = (h @ W(bp["attn"]["wv"])).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -166,12 +168,12 @@ def _block(x, bp, cfg: LlamaConfig, cos, sin, *, flash, cache=None, pos=None,
         att = _attn(q, k, v, causal=True, flash=flash, kv_mask=kv_mask)
 
     att = att.transpose(0, 2, 1, 3).reshape(b, t, cfg.dim)
-    x = x + att @ bp["attn"]["wo"]
+    x = x + att.astype(cd) @ W(bp["attn"]["wo"])
 
     h = rms_norm(x, bp["ffn_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(h @ bp["mlp"]["w_gate"])
-    up = h @ bp["mlp"]["w_up"]
-    x = x + (gate * up) @ bp["mlp"]["w_down"]
+    gate = jax.nn.silu(h @ W(bp["mlp"]["w_gate"]))
+    up = h @ W(bp["mlp"]["w_up"])
+    x = x + (gate * up) @ W(bp["mlp"]["w_down"])
     return x, new_cache
 
 

@@ -99,9 +99,11 @@ def _attn_xla(q, k, v, slopes, *, q_positions, kv_mask):
 def _block(x, bp, cfg: MPTConfig, slopes, *, flash, cache=None, pos=None,
            kv_mask=None, positions=None):
     b, t, d = x.shape
+    cd = x.dtype
+    W = lambda a: a.astype(cd)
     nb = cfg.no_bias
     h = layer_norm(x, bp["norm_1"], None if nb else bp.get("norm_1_b"), cfg.norm_eps)
-    qkv = h @ bp["attn"]["wqkv"]
+    qkv = h @ W(bp["attn"]["wqkv"])
     if not nb:
         qkv = qkv + bp["attn"]["wqkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -135,16 +137,16 @@ def _block(x, bp, cfg: MPTConfig, slopes, *, flash, cache=None, pos=None,
         )
 
     att = att.transpose(0, 2, 1, 3).reshape(b, t, d)
-    o = att @ bp["attn"]["out_w"]
+    o = att.astype(cd) @ W(bp["attn"]["out_w"])
     if not nb:
         o = o + bp["attn"]["out_b"]
     x = x + o
 
     h = layer_norm(x, bp["norm_2"], None if nb else bp.get("norm_2_b"), cfg.norm_eps)
-    up = h @ bp["mlp"]["up_w"]
+    up = h @ W(bp["mlp"]["up_w"])
     if not nb:
         up = up + bp["mlp"]["up_b"]
-    dn = jax.nn.gelu(up, approximate=False) @ bp["mlp"]["down_w"]
+    dn = jax.nn.gelu(up, approximate=False) @ W(bp["mlp"]["down_w"])
     if not nb:
         dn = dn + bp["mlp"]["down_b"]
     return x + dn, new_cache

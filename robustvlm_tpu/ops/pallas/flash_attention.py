@@ -110,7 +110,7 @@ def _fwd_kernel(
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
         if use_alibi:
-            slope = slope_ref[0]
+            slope = slope_ref[pl.program_id(0)]
             s = s - slope * (row + q_offset_blocks * bq - col).astype(jnp.float32)
         valid = col < seq_k
         if causal:
@@ -155,7 +155,7 @@ def _flash_fwd(q, k, v, slopes, *, bq, bk, seq_k, causal, scale, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda b, i: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -192,7 +192,7 @@ def _bwd_dq_kernel(
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
         if use_alibi:
-            s = s - slope_ref[0] * (row - col).astype(jnp.float32)
+            s = s - slope_ref[pl.program_id(0)] * (row - col).astype(jnp.float32)
         valid = col < seq_k
         if causal:
             valid = valid & (col <= row)
@@ -231,7 +231,7 @@ def _bwd_dkv_kernel(
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
         if use_alibi:
-            s = s - slope_ref[0] * (row - col).astype(jnp.float32)
+            s = s - slope_ref[pl.program_id(0)] * (row - col).astype(jnp.float32)
         valid = (col < seq_k) & (row < seq_q)
         if causal:
             valid = valid & (col <= row)
@@ -275,7 +275,7 @@ def _flash_bwd(res, g, *, bq, bk, seq_q, seq_k, causal, scale, interpret):
         ),
         grid=(bh, nq // bq),
         in_specs=[
-            pl.BlockSpec((1,), lambda b, i: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -297,7 +297,7 @@ def _flash_bwd(res, g, *, bq, bk, seq_q, seq_k, causal, scale, interpret):
         ),
         grid=(bh, nk // bk),
         in_specs=[
-            pl.BlockSpec((1,), lambda b, i: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nq, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),

@@ -1,0 +1,190 @@
+"""VLM evaluation datasets.
+
+Equivalent of reference open_flamingo/eval/eval_datasets.py: CaptionDataset
+with selectable ground-truth caption (`which_gt`: int index / per-image dict
+/ 'best', :13-90), VQADataset with nth-most-common-answer ground truth
+(:93-168), and TensorCaptionDataset reloading saved adversarial images
+(:211-243). Images are emitted as [0,1] float32 NCHW (threat-model
+contract); adversarial tensors are stored as .npy (np.save) instead of
+torch .pt, with .pt still readable.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from robustvlm_tpu.data.loaders import default_image_transform
+
+
+def _load_image(path: str, transform) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return transform(img)
+
+
+class CaptionDataset:
+    """COCO/Flickr captioning split from a karpathy-style annotations json:
+    {'images': [{'id'|'cocoid', 'file_name'|'filename', ...}],
+     'annotations': [{'image_id', 'caption'}]} or a flat list."""
+
+    def __init__(
+        self,
+        image_root: str,
+        annotations_path: str,
+        *,
+        size: int = 224,
+        which_gt: Union[int, Dict, str] = 0,
+        n_samples: Optional[int] = None,
+    ):
+        self.image_root = Path(image_root)
+        self.transform = default_image_transform(size)
+        with open(annotations_path) as f:
+            data = json.load(f)
+        caps: Dict[int, List[str]] = {}
+        files: Dict[int, str] = {}
+        if isinstance(data, dict) and "annotations" in data:
+            for im in data.get("images", []):
+                iid = im.get("id", im.get("cocoid"))
+                files[iid] = im.get("file_name", im.get("filename"))
+            for a in data["annotations"]:
+                caps.setdefault(a["image_id"], []).append(a["caption"])
+        else:  # karpathy flat format
+            for im in data["images"] if isinstance(data, dict) else data:
+                iid = im.get("cocoid", im.get("imgid"))
+                files[iid] = im.get("filename")
+                caps[iid] = [s["raw"] for s in im.get("sentences", [])]
+        self.ids = [i for i in files if i in caps][:n_samples]
+        self.files = files
+        self.captions = caps
+        self.which_gt = which_gt
+
+    def __len__(self):
+        return len(self.ids)
+
+    def get_gt_caption(self, image_id: int) -> str:
+        caps = self.captions[image_id]
+        wg = self.which_gt
+        if isinstance(wg, dict):
+            wg = wg.get(str(image_id), wg.get(image_id, 0))
+        if wg == "best" or wg is None:
+            wg = 0
+        return caps[int(wg) % len(caps)]
+
+    def __getitem__(self, i: int):
+        iid = self.ids[i]
+        x = _load_image(str(self.image_root / self.files[iid]), self.transform)
+        return {
+            "image": x,
+            "image_id": iid,
+            "caption": self.get_gt_caption(iid),
+            "all_captions": self.captions[iid],
+        }
+
+
+class VQADataset:
+    """VQAv2-style questions+annotations jsons; ground truth is the nth most
+    common annotator answer (reference eval_datasets.py:93-168 which_gt)."""
+
+    def __init__(
+        self,
+        image_root: str,
+        questions_path: str,
+        annotations_path: Optional[str] = None,
+        *,
+        size: int = 224,
+        which_gt: Union[int, Dict] = 0,
+        n_samples: Optional[int] = None,
+        file_pattern: str = "{image_id:012d}.jpg",
+        file_prefix: str = "COCO_val2014_",
+    ):
+        self.image_root = Path(image_root)
+        self.transform = default_image_transform(size)
+        with open(questions_path) as f:
+            qdata = json.load(f)
+        self.questions = (
+            qdata["questions"] if isinstance(qdata, dict) else qdata
+        )[:n_samples]
+        self.answers: Dict[int, List[str]] = {}
+        if annotations_path:
+            with open(annotations_path) as f:
+                adata = json.load(f)
+            for a in (adata["annotations"] if isinstance(adata, dict) else adata):
+                self.answers[a["question_id"]] = [
+                    x["answer"] for x in a["answers"]
+                ]
+        self.which_gt = which_gt
+        self.file_pattern = file_pattern
+        self.file_prefix = file_prefix
+
+    def __len__(self):
+        return len(self.questions)
+
+    def get_gt_answer(self, question_id: int) -> Optional[str]:
+        if question_id not in self.answers:
+            return None
+        wg = self.which_gt
+        if isinstance(wg, dict):
+            wg = wg.get(str(question_id), wg.get(question_id, 0))
+        ranked = [a for a, _ in Counter(self.answers[question_id]).most_common()]
+        return ranked[int(wg) % len(ranked)]
+
+    def __getitem__(self, i: int):
+        q = self.questions[i]
+        iid = q["image_id"]
+        fname = self.file_prefix + self.file_pattern.format(image_id=iid)
+        path = self.image_root / fname
+        if not path.exists():
+            path = self.image_root / self.file_pattern.format(image_id=iid)
+        x = _load_image(str(path), self.transform)
+        return {
+            "image": x,
+            "image_id": iid,
+            "question_id": q["question_id"],
+            "question": q["question"],
+            "answers": self.answers.get(q["question_id"], []),
+            "gt_answer": self.get_gt_answer(q["question_id"]),
+        }
+
+
+class TensorCaptionDataset:
+    """Reload saved adversarial images (reference TensorCaptionDataset,
+    eval_datasets.py:211-243 + --from_saved): per-image arrays under
+    <root>/<image_id>.npy (or .pt)."""
+
+    def __init__(self, base: CaptionDataset, adv_root: str):
+        self.base = base
+        self.adv_root = Path(adv_root)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, i: int):
+        item = self.base[i]
+        iid = item["image_id"]
+        npy = self.adv_root / f"{iid}.npy"
+        if npy.exists():
+            item["image"] = np.load(npy).astype(np.float32)
+        else:
+            pt = self.adv_root / f"{iid}.pt"
+            if pt.exists():
+                import torch
+
+                item["image"] = (
+                    torch.load(pt, map_location="cpu", weights_only=False)
+                    .float().numpy()
+                )
+        return item
+
+
+def save_adv_image(x: np.ndarray, adv_root: str, image_id) -> str:
+    p = Path(adv_root)
+    p.mkdir(parents=True, exist_ok=True)
+    path = p / f"{image_id}.npy"
+    np.save(path, np.asarray(x, np.float32))
+    return str(path)

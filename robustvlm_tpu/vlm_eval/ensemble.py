@@ -1,0 +1,218 @@
+"""Ensemble attack schedule with per-image worst-case selection.
+
+The core of the reference VLM harness (vlm_eval/run_evaluation.py):
+- attack schedule `[(none, half), 5x(apgd, half, gt=0..4), (apgd, full,
+  init=prev-best)]` (:909-918); VQA appends targeted runs (:1254-1261);
+- per-image WORST-case selection by CIDEr / VQA-acc with early stop once an
+  image's score falls below threshold (cider<10 COCO / <2 Flickr
+  :1073-1092, acc==0 :1435-1436);
+- adversarial images persisted per-image + `gt_dict` / `left_to_attack`
+  JSON for manual resume (:1096-1105);
+- targeted mode: maximize -loss on a fixed target caption; success =
+  target substring in generation (:801-810), fixed seeds via
+  benchmark.templates.target_to_seed.
+
+TPU adaptation: the reference reloads the whole model to switch fp16/fp32
+(:931-941); here precision is a compute_dtype of the jitted closure, so the
+"precision switch" is just a second adapter (bf16 attack / fp32 final).
+Batch size 1 per attack (the reference's hard constraint, apgd.py:166) is
+kept as the default but batches are supported.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robustvlm_tpu.attacks.apgd import apgd_attack
+from robustvlm_tpu.vlm_eval.datasets import save_adv_image
+
+
+@dataclasses.dataclass(frozen=True)
+class AttackSpec:
+    kind: str = "apgd"          # 'none' | 'apgd'
+    precision: str = "half"     # 'half' | 'full'
+    gt_idx: Optional[int] = None  # which ground-truth caption/answer to target
+    init_from_best: bool = False
+    n_iter: int = 100
+    targeted: bool = False
+    target_str: Optional[str] = None
+
+
+def default_captioning_schedule(n_iter: int = 100) -> List[AttackSpec]:
+    """Reference run_evaluation.py:909-918."""
+    return (
+        [AttackSpec(kind="none", precision="half")]
+        + [AttackSpec(gt_idx=i, n_iter=n_iter) for i in range(5)]
+        + [AttackSpec(precision="full", init_from_best=True, n_iter=n_iter)]
+    )
+
+
+def default_vqa_schedule(n_iter: int = 100) -> List[AttackSpec]:
+    """Reference :1254-1261 — adds targeted 'maybe'/'Word' runs."""
+    return (
+        [AttackSpec(kind="none", precision="half")]
+        + [AttackSpec(gt_idx=i, n_iter=n_iter) for i in range(5)]
+        + [
+            AttackSpec(targeted=True, target_str="maybe", n_iter=n_iter),
+            AttackSpec(targeted=True, target_str="Word", n_iter=n_iter),
+            AttackSpec(precision="full", init_from_best=True, n_iter=n_iter),
+        ]
+    )
+
+
+class EnsembleRunner:
+    """Drives the schedule over a dataset for one eval-model pair.
+
+    make_model(precision) -> eval model adapter ('half'/'full'); the adapter
+    contract is vlm_eval/eval_models.py. score_fn(caption, item) -> float
+    per-image metric (higher = model doing better; the attack keeps the
+    WORST). threshold: stop attacking an image once its score < threshold.
+    """
+
+    def __init__(
+        self,
+        make_model: Callable[[str], object],
+        *,
+        eps: float,
+        norm: str = "linf",
+        score_fn: Callable[[str, Dict], float],
+        prompt_fn: Callable[[object, Dict, Optional[int], bool], str],
+        threshold: float = 10.0,
+        out_dir: Optional[str] = None,
+        max_new_tokens: int = 32,
+        num_beams: int = 1,
+        verbose: bool = True,
+    ):
+        self.make_model = make_model
+        self.eps = eps
+        self.norm = norm
+        self.score_fn = score_fn
+        self.prompt_fn = prompt_fn
+        self.threshold = threshold
+        self.out_dir = Path(out_dir) if out_dir else None
+        self.max_new_tokens = max_new_tokens
+        self.num_beams = num_beams
+        self.verbose = verbose
+        self._models: Dict[str, object] = {}
+
+    def _model(self, precision: str):
+        if precision not in self._models:
+            self._models[precision] = self.make_model(precision)
+        return self._models[precision]
+
+    def _attack_one(self, model, x, spec: AttackSpec, x_init, rng):
+        if spec.kind == "none":
+            return x
+        if spec.targeted:
+            # minimize loss on the target text == maximize its negation
+            crit = lambda o, y: -o
+        else:
+            crit = lambda o, y: o
+        res = apgd_attack(
+            model, x, None, criterion=crit, eps=self.eps,
+            n_iter=spec.n_iter, norm=self.norm,
+            x_init=x_init, rng=rng,
+        )
+        return res.x_best
+
+    def run(
+        self,
+        dataset,
+        schedule: Sequence[AttackSpec],
+        *,
+        seed: int = 0,
+        n_samples: Optional[int] = None,
+        save_adv: bool = True,
+    ) -> Dict:
+        n = min(len(dataset), n_samples or len(dataset))
+        items = [dataset[i] for i in range(n)]
+        ids = [it["image_id"] for it in items]
+
+        left_to_attack: Dict = {i: True for i in ids}
+        best_scores: Dict = {i: float("inf") for i in ids}
+        best_outputs: Dict = {i: None for i in ids}
+        best_adv: Dict = {i: None for i in ids}
+        gt_dict: Dict = {}
+        t0 = time.time()
+
+        for a_idx, spec in enumerate(schedule):
+            model = self._model(spec.precision)
+            for it in items:
+                iid = it["image_id"]
+                if not left_to_attack[iid]:
+                    continue
+                x = jnp.asarray(it["image"])[None]
+                # teacher-forcing prompt with the gt target text
+                prompt = self.prompt_fn(model, it, spec.gt_idx, False)
+                gt_dict[str(iid)] = prompt
+                model.set_inputs([prompt])
+                x_init = (
+                    jnp.asarray(best_adv[iid])[None]
+                    if spec.init_from_best and best_adv[iid] is not None
+                    else None
+                )
+                rng = jax.random.fold_in(jax.random.PRNGKey(seed), a_idx * 100003 + iid)
+                x_adv = self._attack_one(model, x, spec, x_init, rng)
+
+                query_prompt = self.prompt_fn(model, it, None, True)
+                out = model.get_outputs(
+                    x_adv, [query_prompt],
+                    max_new_tokens=self.max_new_tokens,
+                    num_beams=self.num_beams,
+                )[0]
+                score = self.score_fn(out, it)
+                if score < best_scores[iid]:
+                    best_scores[iid] = score
+                    best_outputs[iid] = out
+                    best_adv[iid] = np.asarray(x_adv[0])
+                if best_scores[iid] < self.threshold:
+                    left_to_attack[iid] = False
+            if self.verbose:
+                active = sum(left_to_attack.values())
+                mean_s = float(np.mean([
+                    s for s in best_scores.values() if np.isfinite(s)
+                ]))
+                print(
+                    f"[ensemble] attack {a_idx + 1}/{len(schedule)} "
+                    f"({spec.kind},{spec.precision},gt={spec.gt_idx},"
+                    f"targeted={spec.targeted}) done: mean score {mean_s:.2f}, "
+                    f"{active}/{n} still above threshold, "
+                    f"{time.time() - t0:.0f}s",
+                    flush=True,
+                )
+            if self.out_dir is not None:
+                self.out_dir.mkdir(parents=True, exist_ok=True)
+                (self.out_dir / "left_to_attack.json").write_text(
+                    json.dumps({str(k): v for k, v in left_to_attack.items()})
+                )
+                (self.out_dir / "gt_dict.json").write_text(json.dumps(gt_dict))
+
+        if save_adv and self.out_dir is not None:
+            for iid, adv in best_adv.items():
+                if adv is not None:
+                    save_adv_image(adv, str(self.out_dir / "adv"), iid)
+
+        return {
+            "scores": best_scores,
+            "outputs": best_outputs,
+            "adv": best_adv,
+            "left_to_attack": left_to_attack,
+            "wall_s": time.time() - t0,
+        }
+
+
+def attack_success_rate(outputs: Dict, target_str: str) -> float:
+    """Targeted success = target substring in the generation (reference
+    :801-810)."""
+    vals = [o for o in outputs.values() if o is not None]
+    if not vals:
+        return float("nan")
+    return float(np.mean([target_str.lower() in o.lower() for o in vals]))

@@ -1,0 +1,308 @@
+"""VLM eval-model adapters: the threat-model layer (L2) for VLM attacks.
+
+Equivalents of reference EvalModelAdv (open_flamingo/eval/models/
+of_eval_model_adv.py:18-243) and EvalModelLLAVA (models/llava.py:19-185):
+hold params + tokenizer, build prompts, cache tokenized adversarial targets
+(`set_inputs`), expose `loss(x01) -> (B,) per-sample loss` for the attack
+loop and `get_outputs(x01) -> captions` for generation — pixels always
+unnormalized [0,1], normalization inside the forward.
+
+Tokenizer protocol (duck-typed): encode(str)->List[int], decode(ids)->str,
+plus eos_token_id / pad_token_id attributes. transformers tokenizers
+satisfy it; WordTokenizer is the test stand-in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robustvlm_tpu.models.generation import (
+    beam_generate,
+    greedy_generate,
+    left_pad,
+    strip_after_eos,
+)
+
+
+class WordTokenizer:
+    """Deterministic whitespace/hash tokenizer for tests; reserves ids:
+    0=pad, 1=bos, 2=eos, vocab-1=<image> media token."""
+
+    def __init__(self, vocab_size: int = 512):
+        self.vocab_size = vocab_size
+        self.pad_token_id = 0
+        self.bos_token_id = 1
+        self.eos_token_id = 2
+        self.media_token_id = vocab_size - 1
+
+    def encode(self, text: str) -> List[int]:
+        import zlib
+
+        out = []
+        for w in text.strip().split():
+            if w == "<image>":
+                out.append(self.media_token_id)
+            else:
+                out.append(3 + zlib.crc32(w.encode()) % (self.vocab_size - 5))
+        return out
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return " ".join(f"tok{int(i)}" for i in ids)
+
+
+def _pad_right(seqs: Sequence[Sequence[int]], pad: int, length: int):
+    out = np.full((len(seqs), length), pad, np.int32)
+    mask = np.zeros((len(seqs), length), np.float32)
+    for i, s in enumerate(seqs):
+        s = list(s)[:length]
+        out[i, : len(s)] = s
+        mask[i, : len(s)] = 1.0
+    return out, mask
+
+
+@dataclasses.dataclass
+class _CachedInputs:
+    pre: jax.Array          # (B, T_pre) prompt tokens before the image
+    post: jax.Array         # (B, T_post) tokens after the image (incl answer)
+    labels: jax.Array       # (B, T_post)
+    label_mask: jax.Array   # (B, T_post) 1.0 on answer tokens
+
+
+class LlavaEvalModel:
+    """EvalModelLLAVA equivalent. `__call__(x)` returns per-sample HF-style
+    mean CE over the answer span (reference models/llava.py:98-113)."""
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        *,
+        compute_dtype=jnp.bfloat16,
+        remat: bool = False,
+        max_post_len: int = 64,
+    ):
+        from robustvlm_tpu.models.llava.model import llava_per_sample_loss
+
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.compute_dtype = compute_dtype
+        self.remat = remat
+        self.max_post_len = max_post_len
+        self._cached: Optional[_CachedInputs] = None
+
+        def loss_fn(x, pre, post, labels, mask):
+            return llava_per_sample_loss(
+                params, x, pre, post, labels, mask, cfg,
+                compute_dtype=compute_dtype, remat=remat,
+                reduction_per_token="mean",
+            )
+
+        self._loss = jax.jit(loss_fn)
+
+    # ---- prompt builders (reference models/llava.py:148-185)
+    def get_caption_prompt(self, caption: Optional[str] = None) -> str:
+        from robustvlm_tpu.models.llava.conversation import get_caption_prompt
+
+        return get_caption_prompt(caption)
+
+    def get_vqa_prompt(self, question: str, answer: Optional[str] = None) -> str:
+        from robustvlm_tpu.models.llava.conversation import get_vqa_prompt
+
+        return get_vqa_prompt(question, answer)
+
+    def set_inputs(self, full_prompts: Sequence[str]):
+        """Tokenize teacher-forcing prompts; loss is masked to the span after
+        the last 'ASSISTANT:' (reference :115-133)."""
+        from robustvlm_tpu.models.llava.conversation import answer_span, split_at_image
+
+        pres, posts, masks = [], [], []
+        for p in full_prompts:
+            pre_txt, post_txt = split_at_image(p)
+            ctx, ans = answer_span(post_txt)
+            pre_ids = [self.tok.bos_token_id] + self.tok.encode(pre_txt)
+            ctx_ids = self.tok.encode(ctx)
+            ans_ids = self.tok.encode(ans) + [self.tok.eos_token_id]
+            pres.append(pre_ids)
+            posts.append(ctx_ids + ans_ids)
+            masks.append([0.0] * len(ctx_ids) + [1.0] * len(ans_ids))
+        t_pre = max(len(p) for p in pres)
+        pre_arr, _ = _pad_right(pres, self.tok.pad_token_id, t_pre)
+        post_arr, valid = _pad_right(posts, self.tok.pad_token_id, self.max_post_len)
+        mask_arr = np.zeros_like(valid)
+        for i, m in enumerate(masks):
+            m = m[: self.max_post_len]
+            mask_arr[i, : len(m)] = m
+        self._cached = _CachedInputs(
+            pre=jnp.asarray(pre_arr),
+            post=jnp.asarray(post_arr),
+            labels=jnp.asarray(post_arr),
+            label_mask=jnp.asarray(mask_arr),
+        )
+
+    def __call__(self, x01: jax.Array) -> jax.Array:
+        c = self._cached
+        assert c is not None, "call set_inputs first"
+        return self._loss(x01, c.pre, c.post, c.labels, c.label_mask)
+
+    def get_outputs(
+        self,
+        x01: jax.Array,
+        prompts: Sequence[str],
+        *,
+        max_new_tokens: int = 32,
+        num_beams: int = 1,
+        length_penalty: float = 0.0,
+    ) -> List[str]:
+        from robustvlm_tpu.models.llava.conversation import split_at_image
+        from robustvlm_tpu.models.llava.model import make_llava_decode_fns
+
+        pre_txt, post_txt = split_at_image(prompts[0])
+        pre_ids = [self.tok.bos_token_id] + self.tok.encode(pre_txt)
+        post_seqs = [self.tok.encode(split_at_image(p)[1]) for p in prompts]
+        toks, n_pad = left_pad(post_seqs, self.tok.pad_token_id)
+        pf, df = make_llava_decode_fns(
+            self.params, self.cfg, x01, jnp.asarray([pre_ids] * x01.shape[0]),
+            max_total_len=toks.shape[1] + max_new_tokens,
+            compute_dtype=self.compute_dtype,
+        )
+        gen = greedy_generate if num_beams == 1 else beam_generate
+        kw = {} if num_beams == 1 else {
+            "num_beams": num_beams, "length_penalty": length_penalty
+        }
+        res = gen(
+            pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+            max_new_tokens=max_new_tokens, eos_id=self.tok.eos_token_id,
+            pad_id=self.tok.pad_token_id, **kw,
+        )
+        return [
+            self.tok.decode(ids).strip()
+            for ids in strip_after_eos(
+                res.tokens, self.tok.eos_token_id, self.tok.pad_token_id
+            )
+        ]
+
+
+class FlamingoEvalModel:
+    """EvalModelAdv equivalent for OpenFlamingo. Prompts follow the
+    reference few-shot format: '<image>Output:...<|endofchunk|>' chains;
+    `__call__` returns per-sample SUMMED CE over the answer span, labels
+    masked up to the LAST ':' in the final segment (reference
+    models/utils.py get_label :14-40)."""
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        *,
+        compute_dtype=jnp.bfloat16,
+        remat: bool = False,
+        max_len: int = 128,
+    ):
+        from robustvlm_tpu.models.flamingo.model import flamingo_per_sample_loss
+
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.compute_dtype = compute_dtype
+        self.remat = remat
+        self.max_len = max_len
+        self._lang = None
+        self._labels = None
+        self._mask = None
+
+        def loss_fn(vx, lang, labels, mask):
+            return flamingo_per_sample_loss(
+                params, vx, lang, labels, mask, cfg,
+                compute_dtype=compute_dtype, remat=remat,
+            )
+
+        self._loss = jax.jit(loss_fn)
+
+    def get_caption_prompt(self, caption: Optional[str] = None) -> str:
+        c = f" {caption.strip()}<|endofchunk|>" if caption else ""
+        return f"<image>Output:{c}"
+
+    def get_vqa_prompt(self, question: str, answer: Optional[str] = None) -> str:
+        a = f" {answer.strip()}<|endofchunk|>" if answer else ""
+        return f"<image>Question:{question.strip()} Short answer:{a}"
+
+    def _encode(self, text: str) -> List[int]:
+        out = []
+        for part in text.replace("<|endofchunk|>", " <eoc> ").split():
+            if part == "<image>":
+                out.append(self.cfg.media_token_id)
+            elif part == "<eoc>":
+                out.append(self.tok.eos_token_id)
+            else:
+                out.extend(self.tok.encode(part))
+        return out
+
+    def set_inputs(self, full_prompts: Sequence[str]):
+        langs, masks = [], []
+        for p in full_prompts:
+            ids = self._encode(p)
+            # answer span: after the LAST ':' token occurrence in text space
+            marker = p.rfind(":")
+            ctx_ids = self._encode(p[: marker + 1]) if marker >= 0 else []
+            m = [0.0] * len(ctx_ids) + [1.0] * (len(ids) - len(ctx_ids))
+            langs.append(ids)
+            masks.append(m)
+        t = min(max(len(x) for x in langs), self.max_len)
+        lang_arr, _ = _pad_right(langs, self.tok.pad_token_id, t)
+        mask_arr = np.zeros((len(langs), t), np.float32)
+        for i, m in enumerate(masks):
+            m = m[:t]
+            mask_arr[i, : len(m)] = m
+        self._lang = jnp.asarray(lang_arr)
+        self._labels = jnp.asarray(lang_arr)
+        self._mask = jnp.asarray(mask_arr)
+
+    def __call__(self, vision_x: jax.Array) -> jax.Array:
+        assert self._lang is not None, "call set_inputs first"
+        if vision_x.ndim == 4:  # (B,C,H,W) -> (B,T=1,F=1,C,H,W)
+            vision_x = vision_x[:, None, None]
+        return self._loss(vision_x, self._lang, self._labels, self._mask)
+
+    def get_outputs(
+        self,
+        vision_x: jax.Array,
+        prompts: Sequence[str],
+        *,
+        max_new_tokens: int = 32,
+        num_beams: int = 1,
+        length_penalty: float = 0.0,
+    ) -> List[str]:
+        from robustvlm_tpu.models.flamingo.model import make_flamingo_decode_fns
+
+        if vision_x.ndim == 4:
+            vision_x = vision_x[:, None, None]
+        seqs = [self._encode(p) for p in prompts]
+        toks, n_pad = left_pad(seqs, self.tok.pad_token_id)
+        pf, df = make_flamingo_decode_fns(
+            self.params, self.cfg, vision_x,
+            max_total_len=toks.shape[1] + max_new_tokens,
+            compute_dtype=self.compute_dtype,
+        )
+        gen = greedy_generate if num_beams == 1 else beam_generate
+        kw = {} if num_beams == 1 else {
+            "num_beams": num_beams, "length_penalty": length_penalty
+        }
+        res = gen(
+            pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+            max_new_tokens=max_new_tokens, eos_id=self.tok.eos_token_id,
+            pad_id=self.tok.pad_token_id, **kw,
+        )
+        return [
+            self.tok.decode(ids).strip()
+            for ids in strip_after_eos(
+                res.tokens, self.tok.eos_token_id, self.tok.pad_token_id
+            )
+        ]

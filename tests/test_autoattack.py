@@ -142,3 +142,46 @@ class TestChecks:
         assert checks.check_zero_gradients(g)
         g2 = jnp.ones((4, 3, 8, 8))
         assert not checks.check_zero_gradients(g2)
+
+
+class TestSquareL2:
+    def test_fools_and_stays_in_ball(self):
+        from robustvlm_tpu.attacks.square import square_attack_l2
+
+        rng = np.random.RandomState(0)
+        W = jnp.asarray(rng.randn(3 * 16 * 16, 5).astype(np.float32)) * 0.05
+        fn = lambda x: x.reshape(x.shape[0], -1) @ W
+        x = jnp.asarray(rng.rand(4, 3, 16, 16).astype(np.float32))
+        y = jnp.argmax(fn(x), -1)
+        res = square_attack_l2(fn, x, y, eps=2.0, n_queries=300)
+        d = res.x_adv - x
+        norms = jnp.sqrt(jnp.sum(d * d, axis=(1, 2, 3)))
+        assert float(norms.max()) <= 2.0 + 1e-4
+        racc = float(jnp.mean((jnp.argmax(fn(res.x_adv), -1) == y)))
+        assert racc < 1.0
+
+
+class TestEOT:
+    def test_eot_averages_stochastic_grads(self):
+        from robustvlm_tpu.attacks.apgd import apgd_attack
+        from robustvlm_tpu.ops.losses import ce_loss
+
+        rng = np.random.RandomState(0)
+        W = jnp.asarray(rng.randn(3 * 8 * 8, 4).astype(np.float32)) * 0.1
+        x = jnp.asarray(rng.rand(4, 3, 8, 8).astype(np.float32))
+
+        def noisy_model(xa, key):
+            noise = 0.3 * jax.random.normal(key, xa.shape, xa.dtype)
+            return (xa + noise).reshape(xa.shape[0], -1) @ W
+
+        y = jnp.argmax(x.reshape(4, -1) @ W, -1)
+        res = apgd_attack(
+            noisy_model, x, y,
+            criterion=lambda o, yy: ce_loss(o, yy, reduction="none"),
+            eps=16 / 255, n_iter=10, norm="linf", eot_iter=4,
+            rng=jax.random.PRNGKey(1), model_rng_fn=noisy_model,
+        )
+        clean_fn = lambda xa: xa.reshape(xa.shape[0], -1) @ W
+        racc = float(jnp.mean(jnp.argmax(clean_fn(res.x_best_adv), -1) == y))
+        assert racc < 1.0
+        assert float(jnp.abs(res.x_best_adv - x).max()) <= 16 / 255 + 1e-5
