@@ -35,7 +35,9 @@ from robustvlm_tpu.ops.losses import ce_loss, dlr_loss, dlr_loss_targeted
 log = logging.getLogger("robustvlm_tpu.autoattack")
 
 VERSIONS = {
-    "standard": ["apgd-ce", "apgd-t", "square"],
+    # reference autoattack.py set_version :303-339
+    "standard": ["apgd-ce", "apgd-t", "fab-t", "square"],
+    "plus": ["apgd-ce", "apgd-dlr", "fab", "square", "apgd-t", "fab-t"],
     "rand": ["apgd-ce", "apgd-dlr"],
     "custom": None,
 }
@@ -135,6 +137,16 @@ class AutoAttackTPU:
                 )
                 still = still & ~fooled
             return adv
+        if attack in ("fab", "fab-t"):
+            from robustvlm_tpu.attacks.fab import fab_attack
+
+            res = fab_attack(
+                self.logits_fn, xb, yb, norm=self.norm, n_iter=self.n_iter,
+                n_restarts=self.n_restarts, eps=self.eps,
+                targeted=attack == "fab-t",
+                n_target_classes=self.n_target_classes, rng=rng,
+            )
+            return res.x_adv
         if attack == "square":
             if self.norm == "linf":
                 res = square_attack_linf(

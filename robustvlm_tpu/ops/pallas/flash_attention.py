@@ -96,6 +96,7 @@ def _fwd_kernel(
     bq, d = q_ref.shape[-2], q_ref.shape[-1]
     nk = k_ref.shape[-2]
     qi = pl.program_id(1)
+    slope = slope_ref[pl.program_id(0)] if use_alibi else None
     q = q_ref[0] * scale  # (bq, d) in input dtype; matmul accums fp32
 
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -110,7 +111,6 @@ def _fwd_kernel(
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
         if use_alibi:
-            slope = slope_ref[pl.program_id(0)]
             s = s - slope * (row + q_offset_blocks * bq - col).astype(jnp.float32)
         valid = col < seq_k
         if causal:
@@ -137,7 +137,7 @@ def _fwd_kernel(
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l_safe))[:, 0]
+    lse_ref[0] = m + jnp.log(l_safe)  # (bq, 1)
 
 
 def _flash_fwd(q, k, v, slopes, *, bq, bk, seq_k, causal, scale, interpret):
@@ -162,11 +162,11 @@ def _flash_fwd(q, k, v, slopes, *, bq, bk, seq_k, causal, scale, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, nq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32),
         ],
         interpret=interpret,
     )(slopes, q, k, v)
@@ -180,10 +180,11 @@ def _bwd_dq_kernel(
 ):
     bq, d = q_ref.shape[-2], q_ref.shape[-1]
     qi = pl.program_id(1)
+    slope = slope_ref[pl.program_id(0)] if use_alibi else None
     q = q_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]    # (bq, 1)
+    delta = delta_ref[0]  # (bq, 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
 
     def body(ki, dq):
@@ -192,7 +193,7 @@ def _bwd_dq_kernel(
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
         if use_alibi:
-            s = s - slope_ref[pl.program_id(0)] * (row - col).astype(jnp.float32)
+            s = s - slope * (row - col).astype(jnp.float32)
         valid = col < seq_k
         if causal:
             valid = valid & (col <= row)
@@ -218,6 +219,7 @@ def _bwd_dkv_kernel(
 ):
     bk, d = k_ref.shape[-2], k_ref.shape[-1]
     ki = pl.program_id(1)
+    slope = slope_ref[pl.program_id(0)] if use_alibi else None
     k_blk = k_ref[0]
     v_blk = v_ref[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + ki * bk
@@ -226,12 +228,12 @@ def _bwd_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, pl.ds(qi * bq, bq), :]
         do = do_ref[0, pl.ds(qi * bq, bq), :]
-        lse = lse_ref[0, pl.ds(qi * bq, bq)][:, None]
-        delta = delta_ref[0, pl.ds(qi * bq, bq)][:, None]
+        lse = lse_ref[0, pl.ds(qi * bq, bq), :]    # (bq, 1)
+        delta = delta_ref[0, pl.ds(qi * bq, bq), :]  # (bq, 1)
         s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + qi * bq
         if use_alibi:
-            s = s - slope_ref[pl.program_id(0)] * (row - col).astype(jnp.float32)
+            s = s - slope * (row - col).astype(jnp.float32)
         valid = (col < seq_k) & (row < seq_q)
         if causal:
             valid = valid & (col <= row)
@@ -266,7 +268,7 @@ def _flash_bwd(res, g, *, bq, bk, seq_q, seq_k, causal, scale, interpret):
     nk = k.shape[1]
     use_alibi = slopes is not None
     slopes_arr = slopes if use_alibi else jnp.zeros((bh,), jnp.float32)
-    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
 
     dq = pl.pallas_call(
         functools.partial(
@@ -280,8 +282,8 @@ def _flash_bwd(res, g, *, bq, bk, seq_q, seq_k, causal, scale, interpret):
             pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -302,8 +304,8 @@ def _flash_bwd(res, g, *, bq, bk, seq_q, seq_k, causal, scale, interpret):
             pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nq, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),

@@ -113,7 +113,7 @@ class TestAutoAttackOrchestrator:
     def test_standard_version_attack_list(self, toy_classifier):
         fn, _, _ = toy_classifier
         aa = AutoAttackTPU(fn, norm="linf", eps=0.1, version="standard")
-        assert aa.attacks_to_run == ["apgd-ce", "apgd-t", "square"]
+        assert aa.attacks_to_run == ["apgd-ce", "apgd-t", "fab-t", "square"]
         with pytest.raises(ValueError):
             AutoAttackTPU(fn, norm="linf", eps=0.1, version="standard",
                           attacks_to_run=["apgd-ce"])

@@ -239,3 +239,71 @@ class TestEnsembleRunner:
         assert (tmp_path / "gt_dict.json").exists()
         # adv images persisted
         assert (tmp_path / "adv" / "0.npy").exists()
+
+
+class TestPope:
+    def test_binarize_and_score(self):
+        from robustvlm_tpu.vlm_eval.pope import binarize_answer, eval_pope
+
+        assert binarize_answer("No, there is not.") == "no"
+        assert binarize_answer("Yes, a dog.") == "yes"
+        assert binarize_answer("there is no cat") == "no"
+        answers = [
+            {"question_id": 1, "text": "Yes"},
+            {"question_id": 2, "text": "No."},
+            {"question_id": 3, "text": "Yes it is"},
+            {"question_id": 4, "text": "nothing, no"},
+        ]
+        labels = ["yes", "no", "no", "no"]
+        m = eval_pope(answers, labels)
+        assert m["TP"] == 1 and m["TN"] == 2 and m["FP"] == 1 and m["FN"] == 0
+        assert m["accuracy"] == 0.75
+        assert m["yes_ratio"] == 0.5
+
+    def test_run_pope_with_tiny_model(self, tmp_path):
+        from PIL import Image
+
+        from robustvlm_tpu.vlm_eval.pope import run_pope
+
+        (tmp_path / "imgs").mkdir()
+        Image.fromarray(np.zeros((40, 40, 3), np.uint8)).save(
+            tmp_path / "imgs" / "a.jpg"
+        )
+        qs = [{"question_id": 1, "image": "a.jpg",
+               "text": "Is there a dog?", "label": "no"}]
+        m = run_pope(
+            _llava_model("full"), qs, str(tmp_path / "imgs"), size=32,
+            max_new_tokens=3,
+        )
+        assert set(m) >= {"precision", "recall", "f1", "accuracy", "yes_ratio"}
+
+
+class TestScienceQA:
+    def test_parse_option(self):
+        from robustvlm_tpu.vlm_eval.science_qa import parse_option
+
+        assert parse_option("B") == "B"
+        assert parse_option("C. the sun") == "C"
+        assert parse_option("I think The answer is D.") == "D"
+        assert parse_option("no idea") == "FAILED"
+
+    def test_eval(self):
+        from robustvlm_tpu.vlm_eval.science_qa import eval_science_qa
+
+        problems = {
+            "q1": {"choices": ["x", "y"], "answer": 1},
+            "q2": {"choices": ["x", "y", "z"], "answer": 0},
+        }
+        preds = {
+            "q1": {"text": "B", "prompt": "<image>\nwhat"},
+            "q2": {"text": "The answer is A.", "prompt": "what"},
+        }
+        m = eval_science_qa(preds, problems, ["q1", "q2"])
+        assert m["acc"] == 100.0
+        assert m["img_acc"] == 100.0
+
+    def test_prompt(self):
+        from robustvlm_tpu.vlm_eval.science_qa import build_sqa_prompt
+
+        p = build_sqa_prompt({"question": "What?", "choices": ["a", "b"]}, True)
+        assert p.startswith("<image>") and "A. a" in p and "B. b" in p
