@@ -168,3 +168,58 @@ class DataLoader:
             if item is None:
                 return
             yield item
+
+
+class COCOFlickrDataset:
+    """Caption-dataset images for FARE-style unsupervised training
+    (reference train/datasets.py:8-35): yields (image, caption-or-0). The
+    adversarial fine-tune only consumes images; labels are placeholders."""
+
+    def __init__(self, image_dir: str, annotations_path: str,
+                 transform: Optional[Callable] = None, size: int = 224,
+                 prefix: str = ""):
+        import json
+
+        self.image_dir = Path(image_dir)
+        self.transform = transform or default_image_transform(size)
+        with open(annotations_path) as f:
+            data = json.load(f)
+        files = {im.get("id", im.get("cocoid")): im.get("file_name", im.get("filename"))
+                 for im in data.get("images", [])}
+        self.samples = [
+            (self.image_dir / (prefix + files[a["image_id"]]), a.get("caption", ""))
+            for a in data.get("annotations", [])
+            if a["image_id"] in files
+        ]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        path, _ = self.samples[i]
+        with Image.open(path) as img:
+            return self.transform(img), 0
+
+
+class SamData:
+    """Flat directory of SA-1B jpgs (reference train/sam_data.py:45-93):
+    yields (image, 0)."""
+
+    def __init__(self, data_dir: str, transform: Optional[Callable] = None,
+                 size: int = 224):
+        self.paths = sorted(
+            p for p in Path(data_dir).rglob("*")
+            if p.suffix.lower() in ImageFolderDataset.EXTS
+        )
+        self.transform = transform or default_image_transform(size)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        from PIL import Image
+
+        with Image.open(self.paths[i]) as img:
+            return self.transform(img), 0

@@ -86,7 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="out/run")
     p.add_argument("--save_checkpoints", type=str2bool, default=True)
     p.add_argument("--text_embedding_path", default="",
-                   help="npy file with the (D, C) normalized class-text matrix")
+                   help="npy file with the (D, C) normalized class-text matrix; "
+                        "empty = precompute from the ImageNet classnames "
+                        "(reference adversarial_training_clip.py:150-180)")
+    p.add_argument("--bpe_path", default="",
+                   help="CLIP BPE merges file (or $CLIP_BPE_PATH)")
     p.add_argument("--wandb", type=str2bool, default=False)
     p.add_argument("--experiment_name", default="")
     return p
@@ -121,16 +125,27 @@ def main(args=None):
         params = load_clip_checkpoint(args.pretrained, clip_cfg, base_params=base)
     else:
         params = init_clip_params(rng, clip_cfg)
-    params_orig = jax.tree.map(lambda a: a, params)  # frozen copy
+    params_orig = jax.tree.map(jnp.copy, params)  # frozen copy (fresh buffers: params are donated)
 
-    # ---- class-text embedding matrix
+    # ---- class-text embedding matrix (TeCoA / eval metrics)
     text_embedding = None
     if args.text_embedding_path:
         text_embedding = jnp.asarray(np.load(args.text_embedding_path))
-    elif args.loss == "ce" or args.inner_loss == "ce":
-        raise SystemExit(
-            "TeCoA (ce loss) needs --text_embedding_path (precompute with "
-            "robustvlm_tpu.eval.classifier.build_text_classifier)"
+    elif args.loss == "ce" or args.inner_loss == "ce" or args.dataset == "imagenet":
+        # precompute from the frozen text tower, 500-class chunks
+        # (reference adversarial_training_clip.py:150-180)
+        from robustvlm_tpu.benchmark.templates import (
+            STD_TEMPLATE, get_templates, imagenet_classnames,
+        )
+        from robustvlm_tpu.eval.classifier import build_text_classifier
+        from robustvlm_tpu.models.clip.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(args.bpe_path or None, clip_cfg.context_length)
+        classnames = imagenet_classnames()
+        tpls = get_templates("imagenet1k") if args.template == "ensemble" else None
+        text_embedding = build_text_classifier(
+            params, clip_cfg, lambda t: jnp.asarray(tok(t)), classnames,
+            templates=tpls,
         )
 
     # ---- data
