@@ -1,0 +1,195 @@
+"""Model worker: serves VLM caption/VQA generation over HTTP.
+
+Equivalent of reference llava/serve/model_worker.py (285 LoC FastAPI worker):
+loads an eval model (vlm_eval/eval_models.py adapter), registers with the
+controller, sends heartbeats, and answers /worker_generate requests (images
+as base64 PNG or raw float lists). Single worker process per TPU chip — the
+model runs jitted generation; the HTTP layer is a thin stdlib server.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+HEARTBEAT_INTERVAL = 30.0
+
+
+class ModelWorker:
+    def __init__(
+        self,
+        eval_model,
+        model_name: str,
+        *,
+        worker_address: str,
+        controller_address: Optional[str] = None,
+        image_size: int = 224,
+    ):
+        self.model = eval_model
+        self.model_name = model_name
+        self.worker_address = worker_address
+        self.controller_address = controller_address
+        self.image_size = image_size
+        self.queue_length = 0
+        self.lock = threading.Lock()
+        if controller_address:
+            self.register()
+            t = threading.Thread(target=self._heartbeat_loop, daemon=True)
+            t.start()
+
+    # ------------------------------------------------------------ controller
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+
+    def status(self):
+        return {
+            "model_names": [self.model_name],
+            "speed": 1.0,
+            "queue_length": self.queue_length,
+        }
+
+    def register(self):
+        self._post(
+            self.controller_address + "/register_worker",
+            {
+                "worker_name": self.worker_address,
+                "check_heart_beat": True,
+                "worker_status": self.status(),
+            },
+        )
+
+    def _heartbeat_loop(self):
+        while True:
+            time.sleep(HEARTBEAT_INTERVAL)
+            try:
+                self._post(
+                    self.controller_address + "/receive_heart_beat",
+                    {
+                        "worker_name": self.worker_address,
+                        "queue_length": self.queue_length,
+                    },
+                )
+            except Exception:
+                try:
+                    self.register()
+                except Exception:
+                    pass
+
+    # -------------------------------------------------------------- generate
+    def decode_image(self, payload) -> np.ndarray:
+        from robustvlm_tpu.data.loaders import default_image_transform
+
+        if "image_b64" in payload:
+            from PIL import Image
+
+            raw = base64.b64decode(payload["image_b64"])
+            with Image.open(io.BytesIO(raw)) as img:
+                return default_image_transform(self.image_size)(img)
+        arr = np.asarray(payload["image"], np.float32)
+        return arr
+
+    def generate(self, payload: dict) -> dict:
+        import jax.numpy as jnp
+
+        with self.lock:
+            self.queue_length += 1
+        try:
+            x = jnp.asarray(self.decode_image(payload))[None]
+            task = payload.get("task", "caption")
+            if task == "vqa":
+                prompt = self.model.get_vqa_prompt(payload["question"], None)
+            else:
+                prompt = self.model.get_caption_prompt(None)
+            text = self.model.get_outputs(
+                x, [prompt],
+                max_new_tokens=int(payload.get("max_new_tokens", 32)),
+                num_beams=int(payload.get("num_beams", 1)),
+            )[0]
+            return {"text": text, "error_code": 0}
+        except Exception as e:  # pragma: no cover
+            return {"text": "", "error_code": 1, "error": str(e)}
+        finally:
+            with self.lock:
+                self.queue_length -= 1
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(n) or b"{}")
+            path = self.path.rstrip("/")
+            if path == "/worker_get_status":
+                self._json(worker.status())
+            elif path == "/worker_generate":
+                self._json(worker.generate(payload))
+            else:
+                self._json({"error": "unknown endpoint"}, 404)
+
+    return Handler
+
+
+def serve_worker(worker: ModelWorker, host: str, port: int) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(worker))
+    server.worker = worker
+    return server
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="VLM model worker")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=21002)
+    p.add_argument("--worker-address", default="http://localhost:21002")
+    p.add_argument("--controller-address", default="http://localhost:21001")
+    p.add_argument("--model", default="llava")
+    p.add_argument("--model_size", default="7b")
+    p.add_argument("--llava_ckpt", default="")
+    p.add_argument("--of_ckpt", default="")
+    p.add_argument("--mpt_ckpt", default="")
+    p.add_argument("--clip_ckpt", default="")
+    p.add_argument("--vision_encoder_pretrained", default="")
+    p.add_argument("--tokenizer_path", default="")
+    args = p.parse_args(argv)
+
+    from robustvlm_tpu.vlm_eval.run_evaluation import build_eval_model
+
+    model = build_eval_model(args, "half")
+    size = model.cfg.vision.image_size
+    worker = ModelWorker(
+        model, f"{args.model}-{args.model_size}",
+        worker_address=args.worker_address,
+        controller_address=args.controller_address or None,
+        image_size=size,
+    )
+    server = serve_worker(worker, args.host, args.port)
+    print(f"worker listening on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
