@@ -22,9 +22,21 @@ from typing import Callable, Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 
-def default_image_transform(size: int = 224):
+def default_image_transform(size: int = 224, prefer_native: bool = True):
     """Resize(size, bicubic) + CenterCrop(size) + [0,1] float NCHW — the
-    reference preprocessing minus Normalize (adversarial_training_clip.py:111-116)."""
+    reference preprocessing minus Normalize (adversarial_training_clip.py:111-116).
+
+    Uses the C++ pipeline (data/native.py, native/image_ops.cpp) when built;
+    PIL otherwise."""
+    if prefer_native:
+        try:
+            from robustvlm_tpu.data.native import native_image_transform
+
+            tf = native_image_transform(size)
+            if tf is not None:
+                return tf
+        except Exception:
+            pass
     from PIL import Image
 
     def tf(img) -> np.ndarray:
