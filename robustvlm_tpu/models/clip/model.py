@@ -153,9 +153,15 @@ def _block(x, bp, heads, act, attn_mask, flash=False):
 
 
 def use_flash_default() -> bool:
-    """Flash attention by default on TPU only (the XLA einsum path is the
-    oracle elsewhere)."""
-    return jax.default_backend() == "tpu"
+    """Whether to route attention through the Pallas flash kernel by default.
+
+    Currently False everywhere: measured on v5e, XLA's fused einsum
+    attention runs the ViT-L fwd+bwd ~2x faster than the current Pallas
+    kernel (98 vs 191 ms fwd @ B=64; the kernel's per-(batch*head) grid
+    leaves the MXU underfed at head_dim 64). The kernel remains available
+    via flash=True and for shapes XLA fuses poorly; revisit after tiling
+    head-packed q blocks."""
+    return False
 
 
 def _transformer(

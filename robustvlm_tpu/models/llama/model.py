@@ -201,7 +201,9 @@ def llama_forward(
     for left-padded batched generation.
     """
     if flash is None:
-        flash = jax.default_backend() == "tpu"
+        # XLA's fused attention currently outruns the Pallas kernel on the
+        # measured shapes (see clip.model.use_flash_default)
+        flash = False
     if inputs_embeds is None:
         inputs_embeds = params["tok_embedding"][tokens]
     x = inputs_embeds.astype(compute_dtype)

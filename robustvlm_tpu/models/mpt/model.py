@@ -172,7 +172,9 @@ def mpt_forward(
     reference modeling_mpt.py). `layer_hook(i, x) -> x` runs before each
     decoder block — the Flamingo gated-xattn insertion point."""
     if flash is None:
-        flash = jax.default_backend() == "tpu"
+        # XLA's fused attention currently outruns the Pallas kernel on the
+        # measured shapes (see clip.model.use_flash_default)
+        flash = False
     if inputs_embeds is None:
         inputs_embeds = params["tok_embedding"][tokens]
     x = inputs_embeds.astype(compute_dtype)
