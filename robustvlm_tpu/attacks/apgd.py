@@ -125,6 +125,7 @@ def apgd_attack(
     use_fused_kernel: bool = True,
     eot_iter: int = 1,
     model_rng_fn: Optional[Callable] = None,
+    host_loop: bool = False,
 ) -> APGDResult:
     """Run APGD, maximizing `criterion(model_fn(x_adv), y)` per example.
 
@@ -365,7 +366,17 @@ def apgd_attack(
         is_ckpt=is_ckpt,
         window=window,
     )
-    carry, _ = jax.lax.scan(body, carry, xs)
+    if host_loop:
+        # identical math, driven from the host: one jitted step reused for
+        # every iteration (compile cost O(1) in n_iter). Preferred on
+        # backends whose compiler scales poorly with loop trip counts
+        # (e.g. remote-compile PJRT plugins); the scan path minimizes
+        # dispatches and stays the default.
+        step = jax.jit(lambda c, s: body(c, s)[0])
+        for it in range(n_iter):
+            carry = step(carry, jax.tree.map(lambda a: a[it], xs))
+    else:
+        carry, _ = jax.lax.scan(body, carry, xs)
 
     return APGDResult(
         x_best=jax.lax.stop_gradient(carry["x_best"]),

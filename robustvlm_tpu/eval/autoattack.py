@@ -60,6 +60,7 @@ class AutoAttackTPU:
         alpha: Optional[float] = None,
         use_rs: bool = True,
         verbose: bool = True,
+        host_loop: bool = False,
     ):
         self.logits_fn = logits_fn
         self.norm = norm
@@ -72,6 +73,7 @@ class AutoAttackTPU:
         self.alpha = alpha
         self.use_rs = use_rs
         self.verbose = verbose
+        self.host_loop = host_loop
         if version != "custom":
             if attacks_to_run:
                 raise ValueError("attacks_to_run requires version='custom'")
@@ -93,7 +95,7 @@ class AutoAttackTPU:
         """Run one cascade stage on a fixed-size batch; return candidate advs."""
         common = dict(
             eps=self.eps, n_iter=self.n_iter, norm=self.norm,
-            alpha=self.alpha, use_rs=self.use_rs,
+            alpha=self.alpha, use_rs=self.use_rs, host_loop=self.host_loop,
         )
         if attack == "apgd-ce":
             adv = xb

@@ -71,6 +71,9 @@ def build_parser():
                    choices=["float32", "bfloat16"])
     p.add_argument("--bpe_path", default="")
     p.add_argument("--state_path", default="", help="AutoAttack resume state file")
+    p.add_argument("--host_loop", action="store_true",
+                   help="host-looped APGD steps (O(1) compile in n_iter; use "
+                        "on backends with slow loop compilation)")
     p.add_argument("--output_dir", default="out/robustbench")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--experiment_name", default="")
@@ -141,7 +144,7 @@ def main(argv=None):
     aa = AutoAttackTPU(
         logits_fn, norm=args.norm, eps=eps, n_iter=args.n_iter,
         attacks_to_run=[a for a in args.attacks.split(",") if a],
-        alpha=args.alpha, verbose=True,
+        alpha=args.alpha, verbose=True, host_loop=args.host_loop,
     )
     x_adv = aa.run_standard_evaluation(
         x, y, bs=args.batch_size,

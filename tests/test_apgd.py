@@ -205,3 +205,25 @@ class TestAPGDProperties:
             n_iter=10, norm="linf", use_fused_kernel=False).x_best)
         out = f(jnp.asarray(self.x))
         assert out.shape == self.x.shape
+
+
+class TestHostLoopParity:
+    def test_host_loop_matches_scan(self):
+        """host_loop=True must reproduce the scan path bit-for-bit."""
+        from robustvlm_tpu.attacks.apgd import apgd_attack
+        from robustvlm_tpu.ops.losses import ce_loss
+
+        rng = np.random.RandomState(0)
+        W = jnp.asarray(rng.randn(3 * 8 * 8, 5).astype(np.float32)) * 0.1
+        fn = lambda x: x.reshape(x.shape[0], -1) @ W
+        x = jnp.asarray(rng.rand(4, 3, 8, 8).astype(np.float32))
+        y = jnp.argmax(fn(x), -1)
+        kw = dict(
+            criterion=lambda o, yy: ce_loss(o, yy, reduction="none"),
+            eps=8 / 255, n_iter=12, norm="linf",
+        )
+        a = apgd_attack(fn, x, y, **kw)
+        b = apgd_attack(fn, x, y, host_loop=True, **kw)
+        np.testing.assert_allclose(a.x_best_adv, b.x_best_adv, atol=1e-6)
+        np.testing.assert_allclose(a.loss_best, b.loss_best, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(a.acc), np.asarray(b.acc))
