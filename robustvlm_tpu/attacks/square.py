@@ -1,4 +1,4 @@
-"""Square Attack (black-box random search), Linf and L2 variants.
+"""Square Attack (black-box random search), Linf / L2 / L1 variants.
 
 Behavioral parity target: reference autoattack/square.py:20-618 (Andriushchenko
 et al. 2020) — vertical-stripe init, piecewise p_selection schedule of the
@@ -299,6 +299,159 @@ def square_attack_l2(
             seg_end += 1
         keys = jax.random.split(jax.random.fold_in(rng, it), seg_end - it)
         carry = jax.lax.scan(make_body(s, _eta(s)), carry, keys)[0]
+        it = seg_end
+        if bool(jnp.all(carry[2] < 0.0)):
+            break
+
+    x_adv, _, margin, queries = carry
+    return SquareResult(x_adv=x_adv, margin=margin, n_queries=queries)
+
+
+def _eta_l1_rectangles(x: int, y: int) -> "np.ndarray":
+    """L1 ring pattern: 1/(counter+1)^4 rings, L1-normalized
+    (reference square.py:160-168)."""
+    import numpy as np
+
+    delta = np.zeros((x, y), np.float32)
+    x_c, y_c = x // 2 + 1, y // 2 + 1
+    c2 = [x_c - 1, y_c - 1]
+    for counter in range(0, max(x_c, y_c)):
+        delta[
+            max(c2[0], 0): min(c2[0] + 2 * counter + 1, x),
+            max(0, c2[1]): min(c2[1] + 2 * counter + 1, y),
+        ] += 1.0 / (counter + 1) ** 4
+        c2[0] -= 1
+        c2[1] -= 1
+    return delta / np.abs(delta).sum()
+
+
+def _eta_l1(s: int) -> "np.ndarray":
+    import numpy as np
+
+    delta = np.zeros((s, s), np.float32)
+    delta[: s // 2] = _eta_l1_rectangles(s // 2, s)
+    delta[s // 2:] = -_eta_l1_rectangles(s - s // 2, s)
+    return delta / np.abs(delta).sum()
+
+
+def square_attack_l1(
+    logits_fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    y: jax.Array,
+    *,
+    eps: float,
+    n_queries: int = 5000,
+    p_init: float = 0.8,
+    rng: Optional[jax.Array] = None,
+    rescale_schedule: bool = False,
+) -> SquareResult:
+    """L1 Square Attack (reference square.py:422-527): bipolar L1 eta squares
+    with mass-budget redistribution and sorted-cumsum L1-ball projection."""
+    import numpy as np
+
+    from robustvlm_tpu.ops.projections import l1_ball_projection
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    b, c, h, w = x.shape
+    n_fts = c * h * w
+    eps_eff = eps * (1.0 - 1e-6)
+
+    def l1n(t, axes, keepdims=True):
+        return jnp.sum(jnp.abs(t), axis=axes, keepdims=keepdims)
+
+    # ---- init: tiled eta grid, projected into the L1 ball
+    k_init, rng = jax.random.split(rng)
+    s0 = max(h // 5, 1)
+    sp = (h - s0 * 5) // 2 if h >= 5 * s0 else 0
+    canvas = np.zeros((h, w), np.float32)
+    e0 = _eta_l1(s0)
+    vh = max(sp, 0)
+    for _ in range(max(h // s0, 1)):
+        vw = max(sp, 0)
+        for _ in range(max(w // s0, 1)):
+            if vh + s0 <= h and vw + s0 <= w:
+                canvas[vh: vh + s0, vw: vw + s0] += e0
+            vw += s0
+        vh += s0
+    sign0 = jax.random.rademacher(k_init, (b, c, 1, 1), dtype=x.dtype)
+    delta = jnp.asarray(canvas)[None, None] * sign0
+    x_adv = x + delta + l1_ball_projection(x, delta, eps_eff)
+    margin = margin_loss(logits_fn(x_adv), y)
+    loss_best = margin
+    queries = jnp.ones((b,), jnp.int32)
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+
+    def window_mask(vh, vw, s):
+        in_rows = (row_idx[None] >= vh[:, None, None]) & (
+            row_idx[None] < vh[:, None, None] + s
+        )
+        in_cols = (col_idx[None] >= vw[:, None, None]) & (
+            col_idx[None] < vw[:, None, None] + s
+        )
+        return (in_rows & in_cols)[:, None].astype(x.dtype)
+
+    def make_body(s: int, eta_np):
+        eta_canvas = jnp.zeros((h, w), x.dtype).at[:s, :s].set(
+            jnp.asarray(eta_np, x.dtype)
+        )
+
+        def body(carry, key):
+            x_adv, loss_best, margin, queries = carry
+            k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+            vh = jax.random.randint(k1, (b,), 0, h - s + 1)
+            vw = jax.random.randint(k2, (b,), 0, w - s + 1)
+            vh2 = jax.random.randint(k3, (b,), 0, h - s + 1)
+            vw2 = jax.random.randint(k4, (b,), 0, w - s + 1)
+            sign = jax.random.rademacher(k5, (b, c, 1, 1), dtype=x.dtype)
+            transpose = jax.random.bernoulli(k6, 0.5)
+            eta_c = jnp.where(transpose, eta_canvas.T, eta_canvas)
+
+            m1 = window_mask(vh, vw, s)
+            m2 = window_mask(vh2, vw2, s)
+            delta_curr = x_adv - x
+            norms_w1 = l1n(delta_curr * m1, (2, 3))
+            norms_image = l1n(delta_curr, (1, 2, 3))
+            mask_image = jnp.maximum(m1, m2)
+            norms_windows = l1n(delta_curr * mask_image, (2, 3))
+
+            eta_placed = jax.vmap(
+                lambda dh, dw: jnp.roll(eta_c, (dh, dw), axis=(0, 1))
+            )(vh, vw)[:, None]
+            new_d = eta_placed * sign + delta_curr * m1 / (norms_w1 + 1e-12)
+            new_d = new_d * m1
+            avail = (
+                jnp.maximum(eps - norms_image, 0.0) / c + norms_windows
+            ) * c
+            new_d = new_d / (l1n(new_d * m1, (2, 3)) + 1e-12) * avail
+            delta_new = delta_curr * (1 - m2)
+            delta_new = delta_new * (1 - m1) + new_d * m1
+            x_cand = x + delta_new + l1_ball_projection(x, delta_new, eps_eff)
+
+            cand_margin = margin_loss(logits_fn(x_cand), y)
+            active = margin >= 0.0
+            improved = (cand_margin < loss_best) & active
+            imx = improved[:, None, None, None]
+            x_adv = jnp.where(imx, x_cand, x_adv)
+            loss_best = jnp.where(improved, cand_margin, loss_best)
+            margin = jnp.where(improved, cand_margin, margin)
+            queries = queries + active.astype(jnp.int32)
+            return (x_adv, loss_best, margin, queries), None
+
+        return body
+
+    sides = _l2_sides(n_queries, n_fts, c, h, w, p_init, rescale_schedule)
+    carry = (x_adv, loss_best, margin, queries)
+    it = 0
+    while it < len(sides):
+        s = sides[it]
+        seg_end = it
+        while seg_end < len(sides) and sides[seg_end] == s:
+            seg_end += 1
+        keys = jax.random.split(jax.random.fold_in(rng, 700 + it), seg_end - it)
+        carry = jax.lax.scan(make_body(s, _eta_l1(s)), carry, keys)[0]
         it = seg_end
         if bool(jnp.all(carry[2] < 0.0)):
             break

@@ -55,14 +55,25 @@ def _load_json(name: str):
     return json.loads((_DATA / name).read_text())
 
 
-def get_templates(dataset: str) -> List[str]:
+def get_templates(dataset: str, language: str = "en") -> List[str]:
     """Per-dataset prompt-template ensemble (`{c}` is the classname slot);
-    falls back to the imagenet1k 80-template set."""
-    tpl = _load_json("zeroshot_templates.json")
+    falls back to the imagenet1k 80-template set. Languages beyond en load
+    the translated template tables (reference CLIP_benchmark multilingual
+    data: ar/cn/it/jp)."""
+    name = (
+        "zeroshot_templates.json" if language == "en"
+        else f"{language}_zeroshot_classification_templates.json"
+    )
+    tpl = _load_json(name)
     return tpl.get(dataset, tpl["imagenet1k"])
 
 
-def get_classnames(dataset: str) -> List[str]:
+def get_classnames(dataset: str, language: str = "en") -> List[str]:
+    if language != "en":
+        cn = _load_json(f"{language}_classnames.json")
+        if dataset in cn:
+            return cn[dataset]
+        raise KeyError(f"no {language} classname table for '{dataset}'")
     if dataset in _BUILTIN_CLASSNAMES:
         return _BUILTIN_CLASSNAMES[dataset]
     cn = _load_json("en_classnames.json")

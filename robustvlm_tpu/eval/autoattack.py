@@ -162,6 +162,13 @@ class AutoAttackTPU:
                     self.logits_fn, xb, yb, eps=self.eps,
                     n_queries=self.square_n_queries, rng=rng,
                 )
+            elif self.norm == "l1":
+                from robustvlm_tpu.attacks.square import square_attack_l1
+
+                res = square_attack_l1(
+                    self.logits_fn, xb, yb, eps=self.eps,
+                    n_queries=self.square_n_queries, rng=rng,
+                )
             else:
                 raise NotImplementedError(f"square attack: norm {self.norm}")
             return res.x_adv

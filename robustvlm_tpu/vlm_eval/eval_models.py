@@ -55,6 +55,19 @@ class WordTokenizer:
         return " ".join(f"tok{int(i)}" for i in ids)
 
 
+
+
+def truncate_at_stops(text: str, stop_strings) -> str:
+    """Host-side stop-string handling (reference KeywordsStoppingCriteria,
+    llava/mm_utils.py:78: generation halts at conversation separators; here
+    the decoded text is truncated at the first stop occurrence)."""
+    for stop in stop_strings or ():
+        idx = text.find(stop)
+        if idx >= 0:
+            text = text[:idx]
+    return text.strip()
+
+
 def _pad_right(seqs: Sequence[Sequence[int]], pad: int, length: int):
     out = np.full((len(seqs), length), pad, np.int32)
     mask = np.zeros((len(seqs), length), np.float32)
@@ -159,6 +172,7 @@ class LlavaEvalModel:
         max_new_tokens: int = 32,
         num_beams: int = 1,
         length_penalty: float = 0.0,
+        stop_strings: Sequence[str] = ("</s>", "USER:"),
     ) -> List[str]:
         from robustvlm_tpu.models.llava.conversation import split_at_image
         from robustvlm_tpu.models.llava.model import make_llava_decode_fns
@@ -182,7 +196,7 @@ class LlavaEvalModel:
             pad_id=self.tok.pad_token_id, **kw,
         )
         return [
-            self.tok.decode(ids).strip()
+            truncate_at_stops(self.tok.decode(ids), stop_strings)
             for ids in strip_after_eos(
                 res.tokens, self.tok.eos_token_id, self.tok.pad_token_id
             )
@@ -279,6 +293,7 @@ class FlamingoEvalModel:
         max_new_tokens: int = 32,
         num_beams: int = 1,
         length_penalty: float = 0.0,
+        stop_strings: Sequence[str] = ("<|endofchunk|>", "Output:", "Question:"),
     ) -> List[str]:
         from robustvlm_tpu.models.flamingo.model import make_flamingo_decode_fns
 
@@ -301,7 +316,7 @@ class FlamingoEvalModel:
             pad_id=self.tok.pad_token_id, **kw,
         )
         return [
-            self.tok.decode(ids).strip()
+            truncate_at_stops(self.tok.decode(ids), stop_strings)
             for ids in strip_after_eos(
                 res.tokens, self.tok.eos_token_id, self.tok.pad_token_id
             )

@@ -185,3 +185,20 @@ class TestEOT:
         racc = float(jnp.mean(jnp.argmax(clean_fn(res.x_best_adv), -1) == y))
         assert racc < 1.0
         assert float(jnp.abs(res.x_best_adv - x).max()) <= 16 / 255 + 1e-5
+
+
+class TestSquareL1:
+    def test_fools_and_stays_in_ball(self):
+        from robustvlm_tpu.attacks.square import square_attack_l1
+
+        rng = np.random.RandomState(0)
+        W = jnp.asarray(rng.randn(3 * 16 * 16, 5).astype(np.float32)) * 0.05
+        fn = lambda x: x.reshape(x.shape[0], -1) @ W
+        x = jnp.asarray(rng.rand(4, 3, 16, 16).astype(np.float32))
+        y = jnp.argmax(fn(x), -1)
+        res = square_attack_l1(fn, x, y, eps=20.0, n_queries=300)
+        d = res.x_adv - x
+        assert float(jnp.sum(jnp.abs(d), axis=(1, 2, 3)).max()) <= 20.0 + 1e-3
+        assert float(jnp.mean(jnp.argmax(fn(res.x_adv), -1) == y)) < 1.0
+        # box constraint via L1 projection
+        assert float(res.x_adv.min()) >= -1e-6 and float(res.x_adv.max()) <= 1 + 1e-6
