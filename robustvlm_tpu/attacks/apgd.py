@@ -208,7 +208,13 @@ def apgd_attack(
             pred_correct = jnp.zeros((b,), bool)
         return loss_indiv, grad, pred_correct
 
-    loss_indiv0, grad0, correct0 = eval_point(x_adv)
+    if host_loop:
+        # jit the initial evaluation with hoisted closure constants (see the
+        # host_loop scan replacement below for why)
+        ev_pure, ev_consts = jax.closure_convert(eval_point, x_adv)
+        loss_indiv0, grad0, correct0 = jax.jit(ev_pure)(x_adv, *ev_consts)
+    else:
+        loss_indiv0, grad0, correct0 = eval_point(x_adv)
 
     is_ckpt, window = _checkpoint_schedule(n_iter, norm)
 
@@ -371,10 +377,17 @@ def apgd_attack(
         # every iteration (compile cost O(1) in n_iter). Preferred on
         # backends whose compiler scales poorly with loop trip counts
         # (e.g. remote-compile PJRT plugins); the scan path minimizes
-        # dispatches and stays the default.
-        step = jax.jit(lambda c, s: body(c, s)[0])
+        # dispatches and stays the default. closure_convert hoists every
+        # array captured by body's closures (model params, clean images,
+        # the text classifier, ...) into explicit jit arguments — otherwise
+        # they become HLO constants (giant uploads, cache misses).
+        xs0 = jax.tree.map(lambda a: a[0], xs)
+        body_pure, consts = jax.closure_convert(
+            lambda c, s: body(c, s)[0], carry, xs0
+        )
+        step = jax.jit(body_pure)
         for it in range(n_iter):
-            carry = step(carry, jax.tree.map(lambda a: a[it], xs))
+            carry = step(carry, jax.tree.map(lambda a: a[it], xs), *consts)
     else:
         carry, _ = jax.lax.scan(body, carry, xs)
 

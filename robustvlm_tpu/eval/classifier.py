@@ -37,18 +37,28 @@ def build_text_classifier(
     ensemble: per class, encode all templates, mean of normalized embeddings,
     re-normalized (reference clip_robustbench.py:209-222).
     """
+    # params passed as jit ARGUMENTS (closure-captured trees become HLO
+    # constants: huge compiles + cache misses on remote backends)
+    enc = jax.jit(
+        lambda p, t: encode_text(p, t, cfg, normalize=True)
+    )
     if templates is None:
         texts = [STD_TEMPLATE.format(c) for c in classnames]
         embs = []
         for i in range(0, len(texts), chunk_size):
-            toks = tokenize(texts[i : i + chunk_size])
-            embs.append(encode_text(params, toks, cfg, normalize=True))
+            chunk = texts[i : i + chunk_size]
+            if len(chunk) < chunk_size and len(texts) > chunk_size:
+                pad = chunk_size - len(chunk)
+                toks = tokenize(chunk + [chunk[-1]] * pad)
+                embs.append(enc(params, toks)[: len(chunk)])
+            else:
+                embs.append(enc(params, tokenize(chunk)))
         mat = jnp.concatenate(embs, axis=0).T  # (D, C)
     else:
         cols = []
         for c in classnames:
             toks = tokenize([t.format(c=c) if "{c}" in t else t.format(c) for t in templates])
-            e = encode_text(params, toks, cfg, normalize=True).mean(axis=0)
+            e = enc(params, toks).mean(axis=0)
             cols.append(e / jnp.linalg.norm(e))
         mat = jnp.stack(cols, axis=1)
     return mat
@@ -76,20 +86,24 @@ def make_zero_shot_classifier(
     else:
         scale = jnp.asarray(logit_scale, jnp.float32)
 
-    def logits_fn(x):
+    def logits_inner(p, temb, sc, x):
         if resize_to is not None:
             x = resize_bicubic(x, resize_to)
         e = encode_image(
-            params,
+            p,
             normalize_clip(x),
             cfg,
             normalize=True,
             compute_dtype=compute_dtype,
             remat=remat,
         )
-        return (e @ text_embedding) * scale
+        return (e @ temb) * sc
 
-    return jax.jit(logits_fn) if jit else logits_fn
+    # params/text matrix are jit ARGUMENTS bound at call time — closures
+    # over param trees embed them as HLO constants (slow compiles, cache
+    # misses); the public interface stays a pixels-only closure
+    inner = jax.jit(logits_inner) if jit else logits_inner
+    return lambda x: inner(params, text_embedding, scale, x)
 
 
 def make_embedding_fn(

@@ -110,14 +110,17 @@ class LlavaEvalModel:
         self.max_post_len = max_post_len
         self._cached: Optional[_CachedInputs] = None
 
-        def loss_fn(x, pre, post, labels, mask):
+        def loss_fn(p, x, pre, post, labels, mask):
             return llava_per_sample_loss(
-                params, x, pre, post, labels, mask, cfg,
+                p, x, pre, post, labels, mask, cfg,
                 compute_dtype=compute_dtype, remat=remat,
                 reduction_per_token="mean",
             )
 
-        self._loss = jax.jit(loss_fn)
+        # params as jit args (not closure constants): fast compiles + stable
+        # persistent-cache keys
+        jitted = jax.jit(loss_fn)
+        self._loss = lambda *a: jitted(self.params, *a)
 
     # ---- prompt builders (reference models/llava.py:148-185)
     def get_caption_prompt(self, caption: Optional[str] = None) -> str:
@@ -232,13 +235,14 @@ class FlamingoEvalModel:
         self._labels = None
         self._mask = None
 
-        def loss_fn(vx, lang, labels, mask):
+        def loss_fn(p, vx, lang, labels, mask):
             return flamingo_per_sample_loss(
-                params, vx, lang, labels, mask, cfg,
+                p, vx, lang, labels, mask, cfg,
                 compute_dtype=compute_dtype, remat=remat,
             )
 
-        self._loss = jax.jit(loss_fn)
+        jitted = jax.jit(loss_fn)
+        self._loss = lambda *a: jitted(self.params, *a)
 
     def get_caption_prompt(self, caption: Optional[str] = None) -> str:
         c = f" {caption.strip()}<|endofchunk|>" if caption else ""

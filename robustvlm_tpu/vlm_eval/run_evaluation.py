@@ -43,6 +43,9 @@ def build_parser():
     p.add_argument("--eval_coco", action="store_true")
     p.add_argument("--eval_flickr30", action="store_true")
     p.add_argument("--eval_vqav2", action="store_true")
+    p.add_argument("--eval_textvqa", action="store_true")
+    p.add_argument("--eval_vizwiz", action="store_true")
+    p.add_argument("--eval_ok_vqa", action="store_true")
     p.add_argument("--coco_image_dir", default="")
     p.add_argument("--coco_annotations", default="")
     p.add_argument("--flickr_image_dir", default="")
@@ -50,6 +53,15 @@ def build_parser():
     p.add_argument("--vqav2_image_dir", default="")
     p.add_argument("--vqav2_questions", default="")
     p.add_argument("--vqav2_annotations", default="")
+    p.add_argument("--textvqa_image_dir", default="")
+    p.add_argument("--textvqa_questions", default="")
+    p.add_argument("--textvqa_annotations", default="")
+    p.add_argument("--vizwiz_image_dir", default="")
+    p.add_argument("--vizwiz_questions", default="")
+    p.add_argument("--vizwiz_annotations", default="")
+    p.add_argument("--ok_vqa_image_dir", default="")
+    p.add_argument("--ok_vqa_questions", default="")
+    p.add_argument("--ok_vqa_annotations", default="")
     # attack
     p.add_argument("--attack", default="ensemble",
                    choices=["none", "apgd", "ensemble"])
@@ -200,7 +212,17 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     return metrics
 
 
-def evaluate_vqa(args) -> Dict:
+# per-dataset VQA file layouts (reference run_evaluation.py flag groups:
+# VQAv2/TextVQA/VizWiz use COCO-style ids; OK-VQA is COCO val2014)
+VQA_LAYOUTS = {
+    "vqav2": dict(file_prefix="COCO_val2014_", file_pattern="{image_id:012d}.jpg"),
+    "ok_vqa": dict(file_prefix="COCO_val2014_", file_pattern="{image_id:012d}.jpg"),
+    "textvqa": dict(file_prefix="", file_pattern="{image_id}.jpg"),
+    "vizwiz": dict(file_prefix="", file_pattern="{image_id}.jpg"),
+}
+
+
+def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
     from robustvlm_tpu.vlm_eval.datasets import VQADataset
     from robustvlm_tpu.vlm_eval.ensemble import (
         AttackSpec, EnsembleRunner, default_vqa_schedule,
@@ -210,9 +232,12 @@ def evaluate_vqa(args) -> Dict:
     size = 336 if (args.model == "llava" and args.model_size == "7b"
                    and not args.vision_encoder_pretrained) else (
         224 if args.model_size == "7b" else 32)
+    image_dir = getattr(args, f"{dataset_name}_image_dir")
+    questions = getattr(args, f"{dataset_name}_questions")
+    annotations = getattr(args, f"{dataset_name}_annotations")
     ds = VQADataset(
-        args.vqav2_image_dir, args.vqav2_questions, args.vqav2_annotations,
-        size=size, n_samples=args.num_samples,
+        image_dir, questions, annotations,
+        size=size, n_samples=args.num_samples, **VQA_LAYOUTS[dataset_name],
     )
 
     def prompt_fn(model, item, gt_idx, query_only):
@@ -232,6 +257,15 @@ def evaluate_vqa(args) -> Dict:
 
         if not item["answers"]:
             return float("nan")
+        if dataset_name == "ok_vqa":
+            # OK-VQA ground truths are stemmed (reference ok_vqa_utils.py)
+            from robustvlm_tpu.vlm_eval.metrics.ok_vqa import (
+                postprocess_ok_vqa_generation,
+            )
+
+            return 100.0 * vqa_accuracy(
+                postprocess_ok_vqa_generation(pred), item["answers"]
+            )
         return 100.0 * vqa_accuracy(postprocess_vqa_generation(pred), item["answers"])
 
     if args.attack == "none":
@@ -241,7 +275,7 @@ def evaluate_vqa(args) -> Dict:
     else:
         schedule = default_vqa_schedule(args.n_iter)
 
-    out_dir = Path(args.out_base_path) / "vqav2"
+    out_dir = Path(args.out_base_path) / dataset_name
     runner = EnsembleRunner(
         lambda prec: build_eval_model(args, prec),
         eps=args.eps / 255.0, score_fn=score_fn, prompt_fn=prompt_fn,
@@ -272,7 +306,13 @@ def main(argv=None):
             args, "flickr", args.flickr_image_dir, args.flickr_annotations
         )
     if args.eval_vqav2:
-        results["vqav2"] = evaluate_vqa(args)
+        results["vqav2"] = evaluate_vqa(args, "vqav2")
+    if args.eval_textvqa:
+        results["textvqa"] = evaluate_vqa(args, "textvqa")
+    if args.eval_vizwiz:
+        results["vizwiz"] = evaluate_vqa(args, "vizwiz")
+    if args.eval_ok_vqa:
+        results["ok_vqa"] = evaluate_vqa(args, "ok_vqa")
     results["total_wall_s"] = round(time.time() - t0, 1)
     (out / "results.json").write_text(json.dumps(results, indent=2))
     print(json.dumps(results))
