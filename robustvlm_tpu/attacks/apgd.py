@@ -171,9 +171,22 @@ def apgd_attack(
 
     # --- loss/grad closure, with optional EOT averaging over stochastic
     # model passes (reference autopgd_base.py:370-390; model_rng_fn(x, key)
-    # runs the randomized model — deterministic models ignore eot_iter > 1)
-    def total_loss(xa, key=None):
-        out = model_fn(xa) if model_rng_fn is None else model_rng_fn(xa, key)
+    # runs the randomized model — deterministic models ignore eot_iter > 1).
+    # "Bound model" protocol: when model_fn exposes .pure / .bound_args
+    # (see eval/classifier.make_zero_shot_classifier), the bound parameter
+    # tree travels as explicit jit ARGUMENTS in the host_loop path — jitted
+    # closures embed captured trees as HLO constants, which remote-compile
+    # backends reject outright (hundred-MB program uploads).
+    m_pure = getattr(model_fn, "pure", None)
+    m_bound = tuple(getattr(model_fn, "bound_args", ())) if m_pure else ()
+
+    def call_model(xa, margs):
+        if m_pure is not None:
+            return m_pure(*margs, xa)
+        return model_fn(xa)
+
+    def total_loss(xa, margs, key=None):
+        out = call_model(xa, margs) if model_rng_fn is None else model_rng_fn(xa, key)
         li = criterion(out, y)
         return jnp.sum(li), (li, out)
 
@@ -181,15 +194,15 @@ def apgd_attack(
 
     eot_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-    def eval_point(xa):
+    def eval_point(xa, margs):
         if eot_iter <= 1 or model_rng_fn is None:
             (_, (loss_indiv, out)), grad = grad_fn(
-                xa, None if model_rng_fn is None else eot_rng
+                xa, margs, None if model_rng_fn is None else eot_rng
             )
         else:
             def eot_body(carry, key):
                 g_acc, l_acc = carry
-                (_, (li, out_i)), g = grad_fn(xa, key)
+                (_, (li, out_i)), g = grad_fn(xa, margs, key)
                 return (g_acc + g, l_acc + li), out_i
 
             keys = jax.random.split(eot_rng, eot_iter)
@@ -209,12 +222,9 @@ def apgd_attack(
         return loss_indiv, grad, pred_correct
 
     if host_loop:
-        # jit the initial evaluation with hoisted closure constants (see the
-        # host_loop scan replacement below for why)
-        ev_pure, ev_consts = jax.closure_convert(eval_point, x_adv)
-        loss_indiv0, grad0, correct0 = jax.jit(ev_pure)(x_adv, *ev_consts)
+        loss_indiv0, grad0, correct0 = jax.jit(eval_point)(x_adv, m_bound)
     else:
-        loss_indiv0, grad0, correct0 = eval_point(x_adv)
+        loss_indiv0, grad0, correct0 = eval_point(x_adv, m_bound)
 
     is_ckpt, window = _checkpoint_schedule(n_iter, norm)
 
@@ -287,14 +297,14 @@ def apgd_attack(
     step_fns = {"linf": step_linf, "l2": step_l2, "l1": step_l1}
     step_fn = step_fns[norm]
 
-    def body(c, xs):
+    def body(c, xs, margs):
         i, ck, kwin = xs["i"], xs["is_ckpt"], xs["window"]
         a = jnp.where(i > 0, 0.75, 1.0).astype(x.dtype)
 
         x_new = step_fn(c, a)
         c = dict(c, x_adv_old=c["x_adv"], x_adv=x_new)
 
-        loss_indiv, grad, pred_correct = eval_point(c["x_adv"])
+        loss_indiv, grad, pred_correct = eval_point(c["x_adv"], margs)
         acc = jnp.logical_and(c["acc"], pred_correct) if track_acc else c["acc"]
         fooled = jnp.logical_not(pred_correct)
         x_best_adv = jnp.where(expand(fooled), c["x_adv"], c["x_best_adv"])
@@ -377,19 +387,15 @@ def apgd_attack(
         # every iteration (compile cost O(1) in n_iter). Preferred on
         # backends whose compiler scales poorly with loop trip counts
         # (e.g. remote-compile PJRT plugins); the scan path minimizes
-        # dispatches and stays the default. closure_convert hoists every
-        # array captured by body's closures (model params, clean images,
-        # the text classifier, ...) into explicit jit arguments — otherwise
-        # they become HLO constants (giant uploads, cache misses).
-        xs0 = jax.tree.map(lambda a: a[0], xs)
-        body_pure, consts = jax.closure_convert(
-            lambda c, s: body(c, s)[0], carry, xs0
-        )
-        step = jax.jit(body_pure)
+        # dispatches and stays the default. The bound model args travel as
+        # jit arguments (see the bound-model protocol above).
+        step = jax.jit(lambda c, s, margs: body(c, s, margs)[0])
         for it in range(n_iter):
-            carry = step(carry, jax.tree.map(lambda a: a[it], xs), *consts)
+            carry = step(carry, jax.tree.map(lambda a: a[it], xs), m_bound)
     else:
-        carry, _ = jax.lax.scan(body, carry, xs)
+        carry, _ = jax.lax.scan(
+            lambda c, s: body(c, s, m_bound), carry, xs
+        )
 
     return APGDResult(
         x_best=jax.lax.stop_gradient(carry["x_best"]),

@@ -101,9 +101,17 @@ def make_zero_shot_classifier(
 
     # params/text matrix are jit ARGUMENTS bound at call time — closures
     # over param trees embed them as HLO constants (slow compiles, cache
-    # misses); the public interface stays a pixels-only closure
+    # misses); the public interface stays a pixels-only closure, with the
+    # unjitted pure fn + bound tree exposed for the attacks' bound-model
+    # protocol (attacks/apgd.py)
     inner = jax.jit(logits_inner) if jit else logits_inner
-    return lambda x: inner(params, text_embedding, scale, x)
+
+    def fn(x):
+        return inner(params, text_embedding, scale, x)
+
+    fn.pure = logits_inner
+    fn.bound_args = (params, text_embedding, scale)
+    return fn
 
 
 def make_embedding_fn(

@@ -188,3 +188,63 @@ def save_adv_image(x: np.ndarray, adv_root: str, image_id) -> str:
     path = p / f"{image_id}.npy"
     np.save(path, np.asarray(x, np.float32))
     return str(path)
+
+
+class VLMImageNetDataset:
+    """ImageNet class-per-dir tree for VLM classification probing (reference
+    eval_datasets.py ImageNetDataset; the reference's VLM classification
+    driver itself is a dead path — run_evaluation.py:663,691 raise)."""
+
+    def __init__(self, root: str, *, size: int = 224,
+                 n_samples: Optional[int] = None):
+        from robustvlm_tpu.data.loaders import ImageFolderDataset
+
+        self.base = ImageFolderDataset(root, size=size)
+        self.n = min(len(self.base), n_samples or len(self.base))
+        from robustvlm_tpu.benchmark.templates import imagenet_classnames
+
+        self.classnames = imagenet_classnames()
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        x, label = self.base[i]
+        return {
+            "image": x,
+            "image_id": i,
+            "class_id": label,
+            "class_name": self.classnames[label]
+            if label < len(self.classnames) else str(label),
+        }
+
+
+class HatefulMemesDataset:
+    """Hateful Memes jsonl ({'img', 'text', 'label'}) for the yes/no VLM
+    probe (reference eval_datasets.py HatefulMemesDataset)."""
+
+    def __init__(self, image_root: str, annotations_path: str, *,
+                 size: int = 224, n_samples: Optional[int] = None):
+        self.image_root = Path(image_root)
+        self.transform = default_image_transform(size)
+        items = []
+        with open(annotations_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    items.append(json.loads(line))
+        self.items = items[:n_samples]
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        it = self.items[i]
+        img_path = self.image_root / Path(it["img"]).name
+        x = _load_image(str(img_path), self.transform)
+        return {
+            "image": x,
+            "image_id": it.get("id", i),
+            "text": it.get("text", ""),
+            "label": it.get("label"),
+        }
