@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_freq", type=int, default=1)
     p.add_argument("--output_dir", default="out/run")
     p.add_argument("--save_checkpoints", type=str2bool, default=True)
+    p.add_argument("--resume", default="",
+                   help="checkpoint name under <output_dir>/checkpoints to "
+                        "restore params+optimizer from (e.g. fallback_4200); "
+                        "pair with --start_step (reference "
+                        "adversarial_training_clip.py:38-39,98-102)")
     p.add_argument("--text_embedding_path", default="",
                    help="npy file with the (D, C) normalized class-text matrix; "
                         "empty = precompute from the ImageNet classnames "
@@ -179,7 +184,15 @@ def main(args=None):
         if text_embedding is not None else None
     )
 
-    ckpt = CheckpointManager(str(out), args.steps) if args.save_checkpoints else None
+    ckpt = (
+        CheckpointManager(str(out), args.steps)
+        if args.save_checkpoints or args.resume else None
+    )
+    if args.resume:
+        params, opt_restored = ckpt.restore(args.resume, params, opt_state)
+        if opt_restored is not None:
+            opt_state = opt_restored
+        print(f"resumed from {args.resume} at step {args.start_step}")
     meters = {k: AverageMeter(k) for k in ["loss", "cos_sim", "acc", "racc"]}
 
     step = args.start_step
