@@ -207,6 +207,7 @@ class AutoAttackTPU:
             checks.check_randomized(self.logits_fn, xb)
             n_cls = checks.check_range_output(self.logits_fn, xb)
             checks.check_n_classes(n_cls, self.attacks_to_run, self.n_target_classes)
+            checks.check_dynamic(self.logits_fn, xb)
 
         # clean pass
         if state.robust_flags is None:

@@ -94,3 +94,40 @@ def check_square_sr(robust_accuracy_dict: dict) -> None:
             "Square attack is stronger than the white-box attacks — possible "
             "gradient masking."
         )
+
+
+def check_dynamic(logits_fn, x, verbose: bool = True) -> bool:
+    """Detect dynamic defenses: models whose host-side control flow differs
+    across identical inference calls (reference checks.py:95-115 counts
+    Python function calls via sys.settrace). Under jit a cached executable
+    makes the second call nearly call-free; a defense that re-traces,
+    mutates state, or branches per call shows a growing call count."""
+    import sys
+
+    counts = []
+    for _ in range(2):
+        n = [0]
+
+        def tracer(frame, event, arg):
+            if event == "call":
+                n[0] += 1
+            return None
+
+        old = sys.gettrace()
+        sys.settrace(tracer)
+        try:
+            out = logits_fn(x)
+            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        finally:
+            sys.settrace(old)
+        counts.append(n[0])
+    # a pure jitted model hits the executable cache on the 2nd call: count
+    # drops or stays flat. Dynamic defenses keep doing host work.
+    dynamic = counts[1] > max(100, counts[0] // 2) and counts[1] > 1000
+    if dynamic and verbose:
+        log.warning(
+            "the model appears to do per-call host work (%d -> %d python "
+            "calls); attacks may be evaluated against a dynamic defense",
+            counts[0], counts[1],
+        )
+    return dynamic

@@ -202,3 +202,15 @@ class TestSquareL1:
         assert float(jnp.mean(jnp.argmax(fn(res.x_adv), -1) == y)) < 1.0
         # box constraint via L1 projection
         assert float(res.x_adv.min()) >= -1e-6 and float(res.x_adv.max()) <= 1 + 1e-6
+
+
+class TestDynamicCheck:
+    def test_static_vs_dynamic(self):
+        f = jax.jit(lambda x: x.reshape(x.shape[0], -1) @ jnp.ones((48, 4)))
+        assert not checks.check_dynamic(f, jnp.ones((2, 3, 4, 4)), verbose=False)
+
+        def dyn(x):
+            g = jax.jit(lambda xx: xx.reshape(xx.shape[0], -1) @ jnp.ones((48, 4)))
+            return g(x)
+
+        assert checks.check_dynamic(dyn, jnp.ones((2, 3, 4, 4)), verbose=False)
