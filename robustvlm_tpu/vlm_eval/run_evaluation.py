@@ -192,8 +192,6 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     res = runner.run(ds, schedule, seed=args.seed, n_samples=args.num_samples)
 
     cands = {i: c for i, c in res["outputs"].items() if c is not None}
-    refs = {i: ds[k]["all_captions"] for k, i in enumerate(res["outputs"]) if i in cands}
-    # per-image refs keyed consistently
     refs = {}
     for k in range(min(len(ds), args.num_samples or len(ds))):
         it = ds[k]
