@@ -110,3 +110,30 @@ def shard_params(params, mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_attack(attack_fn, mesh: Mesh, *, params_and_statics=()):
+    """Data-parallel attack wrapper: shard (x, y) over the mesh's batch axes
+    and run the jitted attack under those shardings — per-example APGD state
+    (step sizes, best-tracking, loss history) lives with its example and
+    shards with the batch (SURVEY.md §2.6: the reference's DataParallel
+    scatter/gather disappears; XLA inserts any needed collectives).
+
+    attack_fn(x, y) -> pytree of per-example results (e.g. a lambda closing
+    over apgd_attack kwargs). Returns wrapped(x, y) that device_puts inputs
+    to the batch sharding and jits the attack once.
+    """
+    import jax
+
+    bsh_x = batch_sharding(mesh)
+    bsh_y = batch_sharding(mesh, 1)
+    jitted = jax.jit(attack_fn)
+
+    def wrapped(x, y=None):
+        x = jax.device_put(x, NamedSharding(mesh, P(("data", "fsdp"), *([None] * (x.ndim - 1)))))
+        if y is not None:
+            y = jax.device_put(y, bsh_y)
+            return jitted(x, y)
+        return jitted(x)
+
+    return wrapped

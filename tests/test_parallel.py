@@ -104,3 +104,31 @@ class TestDataParallelTrainStep:
         assert p2["visual"]["blocks"]["attn"]["qkv_w"].sharding.spec == P(
             None, "fsdp", "model"
         )
+
+
+class TestShardedAttack:
+    def test_dp_apgd_matches_single_device(self):
+        """APGD sharded over the 8-device mesh == single-device APGD."""
+        from robustvlm_tpu.attacks.apgd import apgd_attack
+        from robustvlm_tpu.ops.losses import ce_loss
+        from robustvlm_tpu.parallel.mesh import make_mesh, shard_attack
+
+        rng = np.random.RandomState(0)
+        W = jnp.asarray(rng.randn(3 * 8 * 8, 5).astype(np.float32)) * 0.1
+        fn = lambda x: x.reshape(x.shape[0], -1) @ W
+        x = jnp.asarray(rng.rand(16, 3, 8, 8).astype(np.float32))
+        y = jnp.argmax(fn(x), -1)
+
+        def attack(xx, yy):
+            return apgd_attack(
+                fn, xx, yy,
+                criterion=lambda o, t: ce_loss(o, t, reduction="none"),
+                eps=8 / 255, n_iter=8, norm="linf",
+            ).x_best_adv
+
+        single = attack(x, y)
+        mesh = make_mesh()
+        sharded = shard_attack(attack, mesh)(x, y)
+        np.testing.assert_allclose(
+            np.asarray(single), np.asarray(sharded), atol=2e-5
+        )
