@@ -254,7 +254,14 @@ class FlamingoEvalModel:
 
     def _encode(self, text: str) -> List[int]:
         out = []
-        for part in text.replace("<|endofchunk|>", " <eoc> ").split():
+        # pad special markers so whitespace tokenization isolates them
+        # ('<image>Output:' must yield the media token; without this the
+        # media_locations mask is empty and image gradients vanish)
+        text = (
+            text.replace("<|endofchunk|>", " <eoc> ")
+            .replace("<image>", " <image> ")
+        )
+        for part in text.split():
             if part == "<image>":
                 out.append(self.cfg.media_token_id)
             elif part == "<eoc>":
@@ -267,7 +274,8 @@ class FlamingoEvalModel:
         langs, masks = [], []
         for p in full_prompts:
             ids = self._encode(p)
-            # answer span: after the LAST ':' token occurrence in text space
+            # answer span: after the LAST ':' occurrence in text space
+            # (reference models/utils.py get_label :14-40 last-colon masking)
             marker = p.rfind(":")
             ctx_ids = self._encode(p[: marker + 1]) if marker >= 0 else []
             m = [0.0] * len(ctx_ids) + [1.0] * (len(ids) - len(ctx_ids))

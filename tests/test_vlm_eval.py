@@ -307,3 +307,56 @@ class TestScienceQA:
 
         p = build_sqa_prompt({"question": "What?", "choices": ["a", "b"]}, True)
         assert p.startswith("<image>") and "A. a" in p and "B. b" in p
+
+
+class TestFlamingoEvalModel:
+    def _model(self, dtype=jnp.float32):
+        import dataclasses
+
+        from robustvlm_tpu.models.flamingo.model import (
+            FLAMINGO_CONFIGS, init_flamingo_params,
+        )
+        from robustvlm_tpu.vlm_eval.eval_models import (
+            FlamingoEvalModel, WordTokenizer,
+        )
+
+        cfg = dataclasses.replace(FLAMINGO_CONFIGS["test-tiny"], media_token_id=511)
+        params = init_flamingo_params(jax.random.PRNGKey(0), cfg)
+        params["xattn"]["attn_gate"] = jnp.full_like(params["xattn"]["attn_gate"], 0.5)
+        return FlamingoEvalModel(
+            params, cfg, WordTokenizer(cfg.mpt.vocab_size),
+            compute_dtype=dtype, max_len=24,
+        )
+
+    def test_media_token_present_and_grad_nonzero(self):
+        """Regression: '<image>Output:' must tokenize the media token, else
+        cross-attention masks everything and pixel gradients vanish."""
+        m = self._model()
+        ids = m._encode(m.get_caption_prompt("a bird"))
+        assert m.cfg.media_token_id in ids
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32))
+        m.set_inputs([m.get_caption_prompt("a small red bird")])
+        g = jax.grad(lambda xx: jnp.sum(m(xx)))(x)
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_attack_increases_loss(self):
+        from robustvlm_tpu.attacks.apgd import apgd_attack
+
+        m = self._model()
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32))
+        m.set_inputs([m.get_caption_prompt("a small red bird")])
+        l0 = float(m(x)[0])
+        res = apgd_attack(
+            m, x, None, criterion=lambda o, y: o, eps=8 / 255, n_iter=4,
+            norm="linf",
+        )
+        assert float(m(res.x_best)[0]) > l0
+
+    def test_answer_mask_covers_caption_only(self):
+        m = self._model()
+        m.set_inputs([m.get_caption_prompt("red bird")])
+        mask = np.asarray(m._mask[0])
+        lang = np.asarray(m._lang[0])
+        # some tokens masked (context) and some unmasked (answer)
+        n_real = int((lang != m.tok.pad_token_id).sum())
+        assert 0 < mask.sum() < n_real
