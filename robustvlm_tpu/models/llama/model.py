@@ -200,12 +200,20 @@ def llama_forward(
     returns (logits, new_cache). `kv_mask` (B, Tk) marks valid key slots
     for left-padded batched generation.
     """
-    if flash is None:
-        # XLA's fused attention currently outruns the Pallas kernel on the
-        # measured shapes (see clip.model.use_flash_default)
-        flash = False
     if inputs_embeds is None:
         inputs_embeds = params["tok_embedding"][tokens]
+    if flash is None:
+        # shape-aware default, from v5e measurements: the Pallas kernel wins
+        # at decoder shapes (head_dim 128, long seq, enough batch*head grid
+        # rows) — e.g. 37 vs 44 ms fwd+bwd at (4,16,2048,128) causal+ALiBi —
+        # while XLA's fused attention wins at small batch or short seq
+        t_now = inputs_embeds.shape[1]
+        flash = (
+            jax.default_backend() == "tpu"
+            and cfg.head_dim >= 128
+            and t_now >= 1024
+            and inputs_embeds.shape[0] * cfg.n_heads >= 64
+        )
     x = inputs_embeds.astype(compute_dtype)
     b, t, _ = x.shape
     if positions is None:
