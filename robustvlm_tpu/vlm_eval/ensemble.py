@@ -90,6 +90,7 @@ class EnsembleRunner:
         max_new_tokens: int = 32,
         num_beams: int = 1,
         verbose: bool = True,
+        host_loop: bool = False,
     ):
         self.make_model = make_model
         self.eps = eps
@@ -101,6 +102,7 @@ class EnsembleRunner:
         self.max_new_tokens = max_new_tokens
         self.num_beams = num_beams
         self.verbose = verbose
+        self.host_loop = host_loop
         self._models: Dict[str, object] = {}
 
     def _model(self, precision: str):
@@ -119,7 +121,7 @@ class EnsembleRunner:
         res = apgd_attack(
             model, x, None, criterion=crit, eps=self.eps,
             n_iter=spec.n_iter, norm=self.norm,
-            x_init=x_init, rng=rng,
+            x_init=x_init, rng=rng, host_loop=self.host_loop,
         )
         return res.x_best
 

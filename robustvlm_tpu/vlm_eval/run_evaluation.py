@@ -74,6 +74,8 @@ def build_parser():
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--from_saved", default="",
                    help="reload saved adversarial images from this dir")
+    p.add_argument("--host_loop", action="store_true",
+                   help="host-looped APGD steps (O(1) compile in n_iter)")
     p.add_argument("--out_base_path", default="out/vlm_eval")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
@@ -187,7 +189,7 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
         eps=args.eps / 255.0, score_fn=score_fn, prompt_fn=prompt_fn,
         threshold=threshold, out_dir=str(out_dir),
         max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
-        verbose=args.verbose,
+        verbose=args.verbose, host_loop=args.host_loop,
     )
     res = runner.run(ds, schedule, seed=args.seed, n_samples=args.num_samples)
 
@@ -279,7 +281,7 @@ def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
         eps=args.eps / 255.0, score_fn=score_fn, prompt_fn=prompt_fn,
         threshold=1.0, out_dir=str(out_dir),
         max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
-        verbose=args.verbose,
+        verbose=args.verbose, host_loop=args.host_loop,
     )
     res = runner.run(ds, schedule, seed=args.seed, n_samples=args.num_samples)
     scores = [s for s in res["scores"].values() if np.isfinite(s)]
