@@ -126,6 +126,7 @@ def apgd_attack(
     eot_iter: int = 1,
     model_rng_fn: Optional[Callable] = None,
     host_loop: bool = False,
+    criterion_args: tuple = (),
 ) -> APGDResult:
     """Run APGD, maximizing `criterion(model_fn(x_adv), y)` per example.
 
@@ -185,24 +186,27 @@ def apgd_attack(
             return m_pure(*margs, xa)
         return model_fn(xa)
 
-    def total_loss(xa, margs, key=None):
+    def total_loss(xa, margs, cargs, key=None):
         out = call_model(xa, margs) if model_rng_fn is None else model_rng_fn(xa, key)
-        li = criterion(out, y)
+        # criterion_args (e.g. apgd-t's per-example target classes) are
+        # runtime jit arguments, not baked constants — a new target set must
+        # not trigger a recompile
+        li = criterion(out, y, *cargs)
         return jnp.sum(li), (li, out)
 
     grad_fn = jax.value_and_grad(total_loss, has_aux=True)
 
     eot_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-    def eval_point(xa, margs):
+    def eval_point(xa, margs, cargs):
         if eot_iter <= 1 or model_rng_fn is None:
             (_, (loss_indiv, out)), grad = grad_fn(
-                xa, margs, None if model_rng_fn is None else eot_rng
+                xa, margs, cargs, None if model_rng_fn is None else eot_rng
             )
         else:
             def eot_body(carry, key):
                 g_acc, l_acc = carry
-                (_, (li, out_i)), g = grad_fn(xa, margs, key)
+                (_, (li, out_i)), g = grad_fn(xa, margs, cargs, key)
                 return (g_acc + g, l_acc + li), out_i
 
             keys = jax.random.split(eot_rng, eot_iter)
@@ -221,10 +225,11 @@ def apgd_attack(
             pred_correct = jnp.zeros((b,), bool)
         return loss_indiv, grad, pred_correct
 
+    cargs = tuple(criterion_args)
     if host_loop:
-        loss_indiv0, grad0, correct0 = jax.jit(eval_point)(x_adv, m_bound)
+        loss_indiv0, grad0, correct0 = jax.jit(eval_point)(x_adv, m_bound, cargs)
     else:
-        loss_indiv0, grad0, correct0 = eval_point(x_adv, m_bound)
+        loss_indiv0, grad0, correct0 = eval_point(x_adv, m_bound, cargs)
 
     is_ckpt, window = _checkpoint_schedule(n_iter, norm)
 
@@ -297,14 +302,14 @@ def apgd_attack(
     step_fns = {"linf": step_linf, "l2": step_l2, "l1": step_l1}
     step_fn = step_fns[norm]
 
-    def body(c, xs, margs):
+    def body(c, xs, margs, cargs):
         i, ck, kwin = xs["i"], xs["is_ckpt"], xs["window"]
         a = jnp.where(i > 0, 0.75, 1.0).astype(x.dtype)
 
         x_new = step_fn(c, a)
         c = dict(c, x_adv_old=c["x_adv"], x_adv=x_new)
 
-        loss_indiv, grad, pred_correct = eval_point(c["x_adv"], margs)
+        loss_indiv, grad, pred_correct = eval_point(c["x_adv"], margs, cargs)
         acc = jnp.logical_and(c["acc"], pred_correct) if track_acc else c["acc"]
         fooled = jnp.logical_not(pred_correct)
         x_best_adv = jnp.where(expand(fooled), c["x_adv"], c["x_best_adv"])
@@ -389,12 +394,14 @@ def apgd_attack(
         # (e.g. remote-compile PJRT plugins); the scan path minimizes
         # dispatches and stays the default. The bound model args travel as
         # jit arguments (see the bound-model protocol above).
-        step = jax.jit(lambda c, s, margs: body(c, s, margs)[0])
+        step = jax.jit(lambda c, s, margs, cargs: body(c, s, margs, cargs)[0])
         for it in range(n_iter):
-            carry = step(carry, jax.tree.map(lambda a: a[it], xs), m_bound)
+            carry = step(
+                carry, jax.tree.map(lambda a: a[it], xs), m_bound, cargs
+            )
     else:
         carry, _ = jax.lax.scan(
-            lambda c, s: body(c, s, m_bound), carry, xs
+            lambda c, s: body(c, s, m_bound, cargs), carry, xs
         )
 
     return APGDResult(

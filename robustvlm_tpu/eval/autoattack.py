@@ -128,9 +128,12 @@ class AutoAttackTPU:
                 if not still.any():
                     break
                 y_target = order[:, -tc]
+                # y_target threads through as a runtime jit argument so each
+                # target class (and each batch) reuses one compiled program
                 res = apgd_attack(
                     self.logits_fn, xb, yb,
-                    criterion=lambda o, yy, yt=y_target: dlr_loss_targeted(o, yy, yt),
+                    criterion=dlr_loss_targeted,
+                    criterion_args=(y_target,),
                     rng=jax.random.fold_in(rng, tc), **common,
                 )
                 fooled = ~np.asarray(res.acc) & still
