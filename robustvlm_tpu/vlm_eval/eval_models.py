@@ -333,3 +333,24 @@ class FlamingoEvalModel:
                 res.tokens, self.tok.eos_token_id, self.tok.pad_token_id
             )
         ]
+
+
+def make_frame_mask(vision_x_shape, mask_out: str = "context"):
+    """Gradient mask over few-shot media frames (reference
+    vlm_eval/attacks/pgd.py:75-87 _set_mask): vision_x is (B, T_img, F, C,
+    H, W); 'context' zeroes every frame except the LAST (only the query
+    image is attacked), 'none' attacks everything, an int k zeroes all but
+    frame k."""
+    import numpy as np
+
+    mask = np.ones(vision_x_shape, np.float32)
+    t = vision_x_shape[1]
+    if mask_out == "none":
+        return jnp.asarray(mask)
+    if mask_out == "context":
+        mask[:, : t - 1] = 0.0
+    else:
+        k = int(mask_out)
+        mask[:, :k] = 0.0
+        mask[:, k + 1:] = 0.0
+    return jnp.asarray(mask)

@@ -360,3 +360,16 @@ class TestFlamingoEvalModel:
         # some tokens masked (context) and some unmasked (answer)
         n_real = int((lang != m.tok.pad_token_id).sum())
         assert 0 < mask.sum() < n_real
+
+
+class TestFrameMask:
+    def test_context_masking(self):
+        from robustvlm_tpu.vlm_eval.eval_models import make_frame_mask
+
+        m = make_frame_mask((2, 3, 1, 3, 8, 8), "context")
+        assert float(m[:, :2].max()) == 0.0 and float(m[:, 2].min()) == 1.0
+        m2 = make_frame_mask((2, 3, 1, 3, 8, 8), "1")
+        assert float(m2[:, 1].min()) == 1.0
+        assert float(m2[:, 0].max()) == 0.0 and float(m2[:, 2].max()) == 0.0
+        m3 = make_frame_mask((2, 3, 1, 3, 8, 8), "none")
+        assert float(m3.min()) == 1.0
