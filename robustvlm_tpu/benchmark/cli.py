@@ -47,6 +47,8 @@ def build_parser():
                         "'random' = random init)")
     p.add_argument("--dataset", default="cifar10", help="comma list or @file")
     p.add_argument("--dataset_root", default=".")
+    p.add_argument("--retrieval_annotations", default="",
+                   help="captions json for retrieval/caption-selection tasks")
     p.add_argument("--split", default="test")
     p.add_argument("--task", default="zeroshot_classification",
                    choices=["zeroshot_classification", "zeroshot_retrieval",
@@ -80,14 +82,17 @@ def run_one(args, model_name: str, pretrained: str, dataset: str) -> dict:
     tokenize = lambda t: jnp.asarray(tok(t))
 
     size = 32 if dataset == "cifar10" else cfg.image_size
-    data = builder.build_dataset(
-        dataset, args.dataset_root, split=args.split, size=size,
-        batch_size=args.batch_size, n_samples=args.n_samples,
-    )
     compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    def classification_data():
+        return builder.build_dataset(
+            dataset, args.dataset_root, split=args.split, size=size,
+            batch_size=args.batch_size, n_samples=args.n_samples,
+        )
 
     t0 = time.time()
     if args.task == "zeroshot_classification":
+        data = classification_data()
         classnames = templates.get_classnames(dataset if dataset != "synthetic" else "cifar10")
         tpls = (
             templates.get_templates(dataset)
@@ -110,9 +115,52 @@ def run_one(args, model_name: str, pretrained: str, dataset: str) -> dict:
             n_iter=args.n_iter, n_samples=args.n_samples,
             batch_size=args.batch_size, verbose=args.verbose,
         )
+    elif args.task in ("zeroshot_retrieval", "image_caption_selection"):
+        from robustvlm_tpu.benchmark.retrieval import (
+            encode_corpus,
+            evaluate_image_caption_selection,
+            evaluate_retrieval,
+        )
+        from robustvlm_tpu.eval.classifier import make_embedding_fn
+        from robustvlm_tpu.models.clip.model import encode_text
+        from robustvlm_tpu.vlm_eval.datasets import CaptionDataset
+
+        # dataset_root points at the image dir; --retrieval_annotations at a
+        # COCO/karpathy-style captions json
+        ds = CaptionDataset(
+            args.dataset_root, args.retrieval_annotations, size=size,
+            n_samples=args.n_samples,
+        )
+        image_fn = jax.jit(make_embedding_fn(params, cfg, output_normalize=True))
+        text_fn = jax.jit(
+            lambda p, t: encode_text(p, t, cfg, normalize=True)
+        )
+
+        def batches():
+            bsz = args.batch_size
+            for i in range(0, len(ds), bsz):
+                items = [ds[j] for j in range(i, min(i + bsz, len(ds)))]
+                import numpy as _np
+
+                yield (
+                    _np.stack([it["image"] for it in items]),
+                    [it["all_captions"] for it in items],
+                )
+
+        if args.task == "zeroshot_retrieval":
+            im, tx, t2i = encode_corpus(
+                image_fn, lambda toks: text_fn(params, toks), batches(),
+                tokenize, batch_size=args.batch_size,
+            )
+            metrics = evaluate_retrieval(im, tx, t2i)
+        else:
+            metrics = evaluate_image_caption_selection(
+                image_fn, lambda toks: text_fn(params, toks), batches(), tokenize
+            )
     elif args.task == "linear_probe":
         from robustvlm_tpu.benchmark.linear_probe import evaluate_linear_probe
         from robustvlm_tpu.eval.classifier import make_embedding_fn
+        data = classification_data()
         train_data = builder.build_dataset(
             dataset, args.dataset_root, split="train", size=size,
             batch_size=args.batch_size, n_samples=args.n_samples,
@@ -123,9 +171,7 @@ def run_one(args, model_name: str, pretrained: str, dataset: str) -> dict:
             embed_fn, train_data, data, n_classes=len(classnames)
         )
     else:
-        raise NotImplementedError(
-            f"task {args.task} needs a captions dataset adapter"
-        )
+        raise ValueError(f"unknown task {args.task}")
 
     return {
         "model": model_name,
