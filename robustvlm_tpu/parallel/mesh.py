@@ -58,8 +58,14 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
 
 # Param-path regex -> PartitionSpec builder. Stacked-block tensors carry a
 # leading layer axis (never sharded); TP shards the head/ffn dimension, FSDP
-# shards the other large dimension.
+# shards the other large dimension. Covers every model family: CLIP ViT
+# (qkv_w/fc_w/...), LLaMA (wq/wk/wv/wo, w_gate/w_up/w_down), MPT
+# (wqkv/out_w/up_w/down_w), the Flamingo resampler + gated xattn
+# (to_q/to_kv/to_out, ff w1/w2), and the LLaVA mm-projector — the FSDP scope
+# of reference open_flamingo/src/flamingo.py:252-351 (manual wrap of
+# perceiver/xattn/decoder blocks/embeddings), expressed declaratively.
 _RULES: Tuple[Tuple[str, P], ...] = (
+    # --- CLIP ViT / text tower ---
     # attention: qkv columns (heads) on model, rows on fsdp
     (r".*blocks.*attn.*qkv_w$", P(None, "fsdp", "model")),
     (r".*blocks.*attn.*qkv_b$", P(None, "model")),
@@ -70,9 +76,28 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r".*blocks.*mlp.*fc_b$", P(None, "model")),
     (r".*blocks.*mlp.*proj_w$", P(None, "model", "fsdp")),
     (r".*blocks.*mlp.*proj_b$", P(None)),
-    # embeddings / projections: shard the wide axis on fsdp
+    # --- LLaMA (models/llama/model.py:273-301) ---
+    (r".*blocks.*attn.*w[qkv]$", P(None, "fsdp", "model")),
+    (r".*blocks.*attn.*wo$", P(None, "model", "fsdp")),
+    (r".*blocks.*mlp.*w_(gate|up)$", P(None, "fsdp", "model")),
+    (r".*blocks.*mlp.*w_down$", P(None, "model", "fsdp")),
+    # --- MPT (models/mpt/model.py:262-282; out_w matched above) ---
+    (r".*blocks.*attn.*wqkv$", P(None, "fsdp", "model")),
+    (r".*blocks.*mlp.*up_w$", P(None, "fsdp", "model")),
+    (r".*blocks.*mlp.*down_w$", P(None, "model", "fsdp")),
+    # --- Flamingo perceiver resampler + gated cross-attention ---
+    # (to_q/to_kv/to_out and ff/w1|w2 names exist only in those modules)
+    (r".*to_(q|kv)$", P(None, "fsdp", "model")),
+    (r".*to_out$", P(None, "model", "fsdp")),
+    (r".*ff/w1$", P(None, "fsdp", "model")),
+    (r".*ff/w2$", P(None, "model", "fsdp")),
+    # --- LLaVA mm-projector (2D, no layer axis) ---
+    (r".*projector/w1$", P("fsdp", "model")),
+    (r".*projector/w2$", P("model", "fsdp")),
+    # --- embeddings / heads: shard the wide axis on fsdp ---
     (r".*patch_embed$", P("fsdp", None)),
-    (r".*token_embedding$", P("fsdp", None)),
+    (r".*tok(en)?_embedding$", P("fsdp", None)),
+    (r".*lm_head$", P("fsdp", "model")),
     (r".*positional_embedding$", P(None)),
     (r".*(proj|text_projection)$", P("fsdp", None)),
 )

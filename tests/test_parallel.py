@@ -132,3 +132,102 @@ class TestShardedAttack:
         np.testing.assert_allclose(
             np.asarray(single), np.asarray(sharded), atol=2e-5
         )
+
+
+def _sharded_fraction(params, mesh):
+    """Fraction of tree bytes whose sharding is non-replicated."""
+    sh = param_sharding_rules(params, mesh)
+    total = sharded = 0
+    for leaf, s in zip(jax.tree.leaves(params), jax.tree.leaves(
+            sh, is_leaf=lambda x: hasattr(x, "spec"))):
+        nbytes = leaf.size * leaf.dtype.itemsize
+        total += nbytes
+        if any(ax is not None for ax in s.spec):
+            sharded += nbytes
+    return sharded / total
+
+
+class TestLMShardingRules:
+    """The reference's FSDP scope (flamingo.py:252-351) covers the 7B LMs —
+    the sharding rules must actually hit LLaMA/MPT/Flamingo param names, not
+    just CLIP (round-1 gap: everything fell through to replicated)."""
+
+    def test_llama_tree_mostly_sharded(self):
+        from robustvlm_tpu.models.llama import LLAMA_CONFIGS
+        from robustvlm_tpu.models.llama.model import init_llama_params
+
+        params = init_llama_params(
+            jax.random.PRNGKey(0), LLAMA_CONFIGS["test-tiny"]
+        )
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        assert _sharded_fraction(params, mesh) > 0.5
+
+    def test_mpt_tree_mostly_sharded(self):
+        from robustvlm_tpu.models.mpt.model import MPT_CONFIGS, init_mpt_params
+
+        params = init_mpt_params(jax.random.PRNGKey(0), MPT_CONFIGS["test-tiny"])
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        assert _sharded_fraction(params, mesh) > 0.5
+
+    def test_flamingo_tree_mostly_sharded(self):
+        from robustvlm_tpu.models.flamingo import (
+            FLAMINGO_CONFIGS, init_flamingo_params,
+        )
+
+        params = init_flamingo_params(
+            jax.random.PRNGKey(0), FLAMINGO_CONFIGS["test-tiny"]
+        )
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        assert _sharded_fraction(params, mesh) > 0.5
+        # resampler / xattn specifically (the reference FSDP wrap targets)
+        frac_p = _sharded_fraction(params["perceiver"], mesh)
+        frac_x = _sharded_fraction(params["xattn"], mesh)
+        assert frac_p > 0.5 and frac_x > 0.5
+
+    def test_llava_tree_mostly_sharded(self):
+        from robustvlm_tpu.models.llava import LLAVA_CONFIGS, init_llava_params
+
+        params = init_llava_params(
+            jax.random.PRNGKey(0), LLAVA_CONFIGS["test-tiny"]
+        )
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        assert _sharded_fraction(params, mesh) > 0.5
+
+    def test_sharded_llava_grad_step_executes(self):
+        """Grad-wrt-pixels through a (fsdp, model)-sharded LLaVA on the
+        8-device mesh — the whole-VLM attack path of the ensemble harness."""
+        from robustvlm_tpu.models.llava import LLAVA_CONFIGS, init_llava_params
+        from robustvlm_tpu.models.llava.model import llava_per_sample_loss
+
+        cfg = LLAVA_CONFIGS["test-tiny"]
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        params = shard_params(
+            init_llava_params(jax.random.PRNGKey(0), cfg), mesh
+        )
+        rng = np.random.RandomState(0)
+        b, t = 8, 12
+        x = jax.device_put(
+            jnp.asarray(rng.rand(b, 3, 32, 32).astype(np.float32)),
+            batch_sharding(mesh),
+        )
+        tokens = jax.device_put(
+            jnp.asarray(rng.randint(5, cfg.llama.vocab_size, (b, t))),
+            batch_sharding(mesh, 2),
+        )
+        mask = jax.device_put(
+            jnp.asarray(rng.rand(b, t) > 0.4, jnp.float32),
+            batch_sharding(mesh, 2),
+        )
+
+        @jax.jit
+        def grad_step(params, x, tokens, mask):
+            def f(xx):
+                return jnp.sum(llava_per_sample_loss(
+                    params, xx, tokens, tokens, tokens, mask, cfg,
+                    compute_dtype=jnp.float32,
+                ))
+            return jax.grad(f)(x)
+
+        g = grad_step(params, x, tokens, mask)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0.0
