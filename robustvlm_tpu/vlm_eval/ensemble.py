@@ -46,24 +46,33 @@ class AttackSpec:
     target_str: Optional[str] = None
 
 
-def default_captioning_schedule(n_iter: int = 100) -> List[AttackSpec]:
-    """Reference run_evaluation.py:909-918."""
+def default_captioning_schedule(
+    n_iter: int = 100, target_str: Optional[str] = None
+) -> List[AttackSpec]:
+    """Reference run_evaluation.py:909-918. With `target_str` set, every
+    attack stage teacher-forces the target and minimizes its loss
+    (reference :962: `adv_caption = ... if not targeted else target_str`)."""
+    tgt = dict(targeted=True, target_str=target_str) if target_str else {}
     return (
         [AttackSpec(kind="none", precision="half")]
-        + [AttackSpec(gt_idx=i, n_iter=n_iter) for i in range(5)]
-        + [AttackSpec(precision="full", init_from_best=True, n_iter=n_iter)]
+        + [AttackSpec(gt_idx=i, n_iter=n_iter, **tgt) for i in range(5)]
+        + [AttackSpec(precision="full", init_from_best=True, n_iter=n_iter, **tgt)]
     )
 
 
-def default_vqa_schedule(n_iter: int = 100) -> List[AttackSpec]:
-    """Reference :1254-1261 — adds targeted 'maybe'/'Word' runs."""
+def default_vqa_schedule(
+    n_iter: int = 100, target_str: Optional[str] = None
+) -> List[AttackSpec]:
+    """Reference :1254-1261 — adds targeted 'maybe'/'Word' runs (the target
+    word is teacher-forced as the answer and its loss minimized)."""
+    tgt = dict(targeted=True, target_str=target_str) if target_str else {}
     return (
         [AttackSpec(kind="none", precision="half")]
-        + [AttackSpec(gt_idx=i, n_iter=n_iter) for i in range(5)]
+        + [AttackSpec(gt_idx=i, n_iter=n_iter, **tgt) for i in range(5)]
         + [
             AttackSpec(targeted=True, target_str="maybe", n_iter=n_iter),
             AttackSpec(targeted=True, target_str="Word", n_iter=n_iter),
-            AttackSpec(precision="full", init_from_best=True, n_iter=n_iter),
+            AttackSpec(precision="full", init_from_best=True, n_iter=n_iter, **tgt),
         ]
     )
 
@@ -75,6 +84,13 @@ class EnsembleRunner:
     contract is vlm_eval/eval_models.py. score_fn(caption, item) -> float
     per-image metric (higher = model doing better; the attack keeps the
     WORST). threshold: stop attacking an image once its score < threshold.
+
+    prompt_fn(model, item, spec, query_only) builds the teacher-forcing
+    prompt for a stage: for targeted specs it MUST teacher-force
+    spec.target_str (the attack then minimizes that loss, planting the
+    target — reference run_evaluation.py:962 `adv_caption = ... if not
+    targeted else target_str`, :1254-1261); for untargeted specs it
+    teacher-forces the gt caption/answer selected by spec.gt_idx.
     """
 
     def __init__(
@@ -84,7 +100,7 @@ class EnsembleRunner:
         eps: float,
         norm: str = "linf",
         score_fn: Callable[[str, Dict], float],
-        prompt_fn: Callable[[object, Dict, Optional[int], bool], str],
+        prompt_fn: Callable[[object, Dict, AttackSpec, bool], str],
         threshold: float = 10.0,
         out_dir: Optional[str] = None,
         max_new_tokens: int = 32,
@@ -142,6 +158,9 @@ class EnsembleRunner:
         best_scores: Dict = {i: float("inf") for i in ids}
         best_outputs: Dict = {i: None for i in ids}
         best_adv: Dict = {i: None for i in ids}
+        # which gt index produced the best (worst-case) score per image —
+        # the final prev-best stage teacher-forces it (reference
+        # run_evaluation.py:929 `which_gt = gt_dict if gt == "prev-best"`)
         gt_dict: Dict = {}
         t0 = time.time()
 
@@ -152,9 +171,19 @@ class EnsembleRunner:
                 if not left_to_attack[iid]:
                     continue
                 x = jnp.asarray(it["image"])[None]
-                # teacher-forcing prompt with the gt target text
-                prompt = self.prompt_fn(model, it, spec.gt_idx, False)
-                gt_dict[str(iid)] = prompt
+                # prev-best stage re-attacks the per-image best gt caption
+                eff_spec = spec
+                if (
+                    spec.init_from_best
+                    and spec.gt_idx is None
+                    and not spec.targeted
+                ):
+                    eff_spec = dataclasses.replace(
+                        spec, gt_idx=gt_dict.get(str(iid), 0)
+                    )
+                # teacher-forcing prompt: gt text (untargeted) or
+                # spec.target_str (targeted)
+                prompt = self.prompt_fn(model, it, eff_spec, False)
                 model.set_inputs([prompt])
                 x_init = (
                     jnp.asarray(best_adv[iid])[None]
@@ -162,9 +191,9 @@ class EnsembleRunner:
                     else None
                 )
                 rng = jax.random.fold_in(jax.random.PRNGKey(seed), a_idx * 100003 + iid)
-                x_adv = self._attack_one(model, x, spec, x_init, rng)
+                x_adv = self._attack_one(model, x, eff_spec, x_init, rng)
 
-                query_prompt = self.prompt_fn(model, it, None, True)
+                query_prompt = self.prompt_fn(model, it, eff_spec, True)
                 out = model.get_outputs(
                     x_adv, [query_prompt],
                     max_new_tokens=self.max_new_tokens,
@@ -175,6 +204,8 @@ class EnsembleRunner:
                     best_scores[iid] = score
                     best_outputs[iid] = out
                     best_adv[iid] = np.asarray(x_adv[0])
+                    if eff_spec.gt_idx is not None:
+                        gt_dict[str(iid)] = eff_spec.gt_idx
                 if best_scores[iid] < self.threshold:
                     left_to_attack[iid] = False
             if self.verbose:

@@ -6,10 +6,18 @@ Replaces the reference's pycocoevalcap dependency
 similarity between candidate and references, with CIDEr-D's count clipping
 and gaussian length penalty (sigma=6), corpus-level IDF, final score x10.
 
+The IDF is a corpus-level object (`CiderIDF`): document frequencies are
+computed ONCE over every image's reference set, and individual candidates
+are scored under that shared IDF — exactly what pycocoevalcap's Cider does
+when the reference scores the full 500-image result set per attack stage
+(coco_metric.py:22-46). Scoring a caption against a 1-image "corpus" is
+degenerate (log N = 0 makes every TF-IDF weight vanish), which is why the
+ensemble harness must never do it.
+
 Tokenization approximates PTBTokenizer: lowercase, punctuation stripped,
 whitespace split (scores track pycocoevalcap within noise for typical
-captions; the relative per-image ordering the ensemble harness needs is
-preserved).
+captions; hand-derived golden values in tests/test_vlm_eval.py pin the
+scorer to the pycocoevalcap algorithm on pre-tokenized fixtures).
 """
 
 from __future__ import annotations
@@ -38,29 +46,31 @@ def _counts(sent: str) -> List[Counter]:
     return [_ngrams(toks, n) for n in range(1, N_MAX + 1)]
 
 
-class CiderScorer:
-    """Corpus-IDF CIDEr-D. `refs[i]` is the reference list for image i,
-    `cands[i]` the candidate caption."""
+class CiderIDF:
+    """Corpus-level document frequencies for CIDEr-D.
 
-    def __init__(self, cands: Sequence[str], refs: Sequence[Sequence[str]]):
-        assert len(cands) == len(refs) and len(cands) > 0
-        self.cands = [_counts(c) for c in cands]
-        self.refs = [[_counts(r) for r in rs] for rs in refs]
-        self.cand_lens = [len(tokenize(c)) for c in cands]
-        self.ref_lens = [[len(tokenize(r)) for r in rs] for rs in refs]
+    Built once from ALL images' reference lists (pycocoevalcap
+    cider_scorer.compute_doc_freq: each n-gram counts once per image whose
+    reference set contains it; ref_len = log(#images)). `score(cand, refs)`
+    then scores one candidate under the shared IDF.
+    """
+
+    def __init__(self, all_refs: Sequence[Sequence[str]]):
+        assert len(all_refs) > 0
         self.doc_freq: List[Dict] = [defaultdict(int) for _ in range(N_MAX)]
-        for rs in self.refs:
+        for rs in all_refs:
+            counted = [_counts(r) for r in rs]
             for n in range(N_MAX):
                 seen = set()
-                for r in rs:
+                for r in counted:
                     seen.update(r[n].keys())
                 for g in seen:
                     self.doc_freq[n][g] += 1
-        self.log_n_images = math.log(max(len(refs), 1))
+        self.log_n_images = math.log(max(len(all_refs), 1))
 
     def _vec(self, counts: Counter, n: int):
         """TF-IDF vector + norm. tf is the raw count (pycocoevalcap
-        convention); idf = log(N) - log(df)."""
+        convention); idf = log(N) - log(max(df, 1))."""
         vec = {}
         norm = 0.0
         for g, c in counts.items():
@@ -70,7 +80,8 @@ class CiderScorer:
             norm += w * w
         return vec, math.sqrt(norm)
 
-    def _sim(self, cvec, cnorm, rvec, rnorm, len_c, len_r):
+    @staticmethod
+    def _sim(cvec, cnorm, rvec, rnorm, len_c, len_r):
         """CIDEr-D pair similarity for one n: clipped dot / norms with the
         gaussian length penalty."""
         if cnorm == 0.0 or rnorm == 0.0:
@@ -85,25 +96,41 @@ class CiderScorer:
             * math.exp(-(delta ** 2) / (2 * SIGMA ** 2))
         )
 
+    def score(self, cand: str, refs: Sequence[str]) -> float:
+        """CIDEr-D of one candidate vs its references, on the x10 scale
+        (perfect >=4-token match = 10.0). The harness multiplies by a
+        further x10 for the reference's x100 scale."""
+        cand_counts = _counts(cand)
+        len_c = len(tokenize(cand))
+        ref_counts = [_counts(r) for r in refs]
+        ref_lens = [len(tokenize(r)) for r in refs]
+        score_ns = []
+        for n in range(N_MAX):
+            cvec, cnorm = self._vec(cand_counts[n], n)
+            s = 0.0
+            for rc, rl in zip(ref_counts, ref_lens):
+                rvec, rnorm = self._vec(rc[n], n)
+                s += self._sim(cvec, cnorm, rvec, rnorm, len_c, rl)
+            score_ns.append(s / max(len(refs), 1))
+        return 10.0 * sum(score_ns) / N_MAX
+
+
+class CiderScorer:
+    """Batch CIDEr-D: `refs[i]` is the reference list for image i, `cands[i]`
+    the candidate caption. IDF is built from THESE refs — callers scoring
+    single captions repeatedly must build one `CiderIDF` over the whole
+    corpus instead (see the ensemble harness)."""
+
+    def __init__(self, cands: Sequence[str], refs: Sequence[Sequence[str]]):
+        assert len(cands) == len(refs) and len(cands) > 0
+        self.cands = list(cands)
+        self.refs = [list(rs) for rs in refs]
+        self.idf = CiderIDF(self.refs)
+
     def per_image(self) -> List[float]:
-        scores = []
-        for i, cand in enumerate(self.cands):
-            score_ns = []
-            for n in range(N_MAX):
-                cvec, cnorm = self._vec(cand[n], n)
-                s = 0.0
-                for j, ref in enumerate(self.refs[i]):
-                    rvec, rnorm = self._vec(ref[n], n)
-                    s += self._sim(
-                        cvec, cnorm, rvec, rnorm,
-                        self.cand_lens[i], self.ref_lens[i][j],
-                    )
-                score_ns.append(s / max(len(self.refs[i]), 1))
-            # pycocoevalcap scale: mean over n, x10 (perfect match = 10.0);
-            # the harness multiplies by a further 100 like the reference
-            # (run_evaluation.py:1130, coco_metric.py:41)
-            scores.append(10.0 * sum(score_ns) / N_MAX)
-        return scores
+        return [
+            self.idf.score(c, rs) for c, rs in zip(self.cands, self.refs)
+        ]
 
     def corpus(self) -> float:
         p = self.per_image()

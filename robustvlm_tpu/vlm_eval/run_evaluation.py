@@ -147,7 +147,7 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
         AttackSpec, EnsembleRunner, attack_success_rate,
         default_captioning_schedule,
     )
-    from robustvlm_tpu.vlm_eval.metrics.cider import CiderScorer
+    from robustvlm_tpu.vlm_eval.metrics.cider import CiderIDF, CiderScorer
 
     size = 336 if (args.model == "llava" and args.model_size == "7b"
                    and not args.vision_encoder_pretrained) else (
@@ -158,30 +158,35 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     if args.from_saved:
         ds = TensorCaptionDataset(ds, args.from_saved)
 
-    def prompt_fn(model, item, gt_idx, query_only):
+    def prompt_fn(model, item, spec, query_only):
         if query_only:
             return model.get_caption_prompt(None)
+        if spec.targeted and spec.target_str:
+            # teacher-force the TARGET caption; the runner minimizes its
+            # loss (reference run_evaluation.py:962, :1254-1261)
+            return model.get_caption_prompt(spec.target_str)
         caps = item["all_captions"]
-        cap = (
-            args.target_str if args.targeted
-            else caps[(gt_idx or 0) % len(caps)]
-        )
-        return model.get_caption_prompt(cap)
+        return model.get_caption_prompt(caps[(spec.gt_idx or 0) % len(caps)])
+
+    # corpus-level IDF over ALL evaluated images' references — per-image
+    # CIDEr under a singleton corpus is identically 0 (log N = 0), which
+    # would stop the whole schedule after the clean pass (reference scores
+    # every stage over the full result set, coco_metric.py:22-46)
+    n_eval = min(len(ds), args.num_samples or len(ds))
+    idf = CiderIDF([ds[k]["all_captions"] for k in range(n_eval)])
 
     def score_fn(caption, item):
-        if args.targeted:
-            return float(args.target_str.lower() not in caption.lower()) * 1e3
-        return CiderScorer([caption], [item["all_captions"]]).corpus() * 100.0
+        return idf.score(caption, item["all_captions"]) * 100.0
 
     threshold = {"coco": 10.0, "flickr": 2.0}.get(dataset_name, 10.0)
+    tgt = args.target_str if args.targeted else None
     if args.attack == "none":
         schedule = [AttackSpec(kind="none")]
     elif args.attack == "apgd":
         schedule = [AttackSpec(n_iter=args.n_iter, gt_idx=0,
-                               targeted=args.targeted,
-                               target_str=args.target_str if args.targeted else None)]
+                               targeted=args.targeted, target_str=tgt)]
     else:
-        schedule = default_captioning_schedule(args.n_iter)
+        schedule = default_captioning_schedule(args.n_iter, target_str=tgt)
 
     out_dir = Path(args.out_base_path) / dataset_name
     runner = EnsembleRunner(
@@ -240,14 +245,18 @@ def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
         size=size, n_samples=args.num_samples, **VQA_LAYOUTS[dataset_name],
     )
 
-    def prompt_fn(model, item, gt_idx, query_only):
+    def prompt_fn(model, item, spec, query_only):
         if query_only:
             return model.get_vqa_prompt(item["question"], None)
+        if spec.targeted and spec.target_str:
+            # teacher-force the target word as the answer (reference
+            # apgd-maybe / apgd-Word stages, run_evaluation.py:1254-1261)
+            return model.get_vqa_prompt(item["question"], spec.target_str)
         answers = item["answers"] or [item.get("gt_answer") or ""]
         from collections import Counter
 
         ranked = [a for a, _ in Counter(answers).most_common()]
-        ans = ranked[(gt_idx or 0) % len(ranked)]
+        ans = ranked[(spec.gt_idx or 0) % len(ranked)]
         return model.get_vqa_prompt(item["question"], ans)
 
     def score_fn(pred, item):
@@ -268,12 +277,14 @@ def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
             )
         return 100.0 * vqa_accuracy(postprocess_vqa_generation(pred), item["answers"])
 
+    tgt = args.target_str if args.targeted else None
     if args.attack == "none":
         schedule = [AttackSpec(kind="none")]
     elif args.attack == "apgd":
-        schedule = [AttackSpec(n_iter=args.n_iter, gt_idx=0)]
+        schedule = [AttackSpec(n_iter=args.n_iter, gt_idx=0,
+                               targeted=args.targeted, target_str=tgt)]
     else:
-        schedule = default_vqa_schedule(args.n_iter)
+        schedule = default_vqa_schedule(args.n_iter, target_str=tgt)
 
     out_dir = Path(args.out_base_path) / dataset_name
     runner = EnsembleRunner(
@@ -285,10 +296,17 @@ def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
     )
     res = runner.run(ds, schedule, seed=args.seed, n_samples=args.num_samples)
     scores = [s for s in res["scores"].values() if np.isfinite(s)]
-    return {
+    metrics = {
         "vqa_accuracy": float(np.mean(scores)) if scores else float("nan"),
         "wall_s": res["wall_s"],
     }
+    if args.targeted:
+        from robustvlm_tpu.vlm_eval.ensemble import attack_success_rate
+
+        metrics["success_rate"] = attack_success_rate(
+            res["outputs"], args.target_str
+        )
+    return metrics
 
 
 def main(argv=None):

@@ -194,36 +194,194 @@ class TestLlavaEvalModel:
         assert len(outs) == 1 and isinstance(outs[0], str)
 
 
+class TestCiderGolden:
+    """Hand-derived golden values pinning CiderIDF to the pycocoevalcap
+    CIDEr-D algorithm (tf = raw count, idf = log N - log max(df,1), clipped
+    dot / norms, gaussian length penalty sigma=6, mean over n=1..4, x10)."""
+
+    REFS = [["a cat sits here"], ["a dog runs fast"]]  # N=2 corpus
+
+    def _idf(self):
+        from robustvlm_tpu.vlm_eval.metrics.cider import CiderIDF
+
+        return CiderIDF(self.REFS)
+
+    def test_perfect_match_scores_10(self):
+        # every n-gram overlaps with identical weights -> sim=1 for all four
+        # n (>=4 tokens), penalty 1 -> 10.0 exactly
+        assert self._idf().score("a cat sits here", self.REFS[0]) == pytest.approx(10.0)
+
+    def test_disjoint_scores_0(self):
+        assert self._idf().score("nothing matches this text", self.REFS[0]) == 0.0
+
+    def test_partial_overlap_golden(self):
+        # cand "a cat runs here" vs ref "a cat sits here", corpus as above:
+        # 1-grams: overlap {a(idf 0), cat, here} -> num=2(log2)^2,
+        #   norms sqrt(3)log2 each -> sim1 = 2/3
+        # 2-grams: overlap {"a cat"} of 3 cand / 3 ref entries -> sim2 = 1/3
+        # 3-/4-grams: no overlap -> 0;   score = 10*(2/3+1/3)/4 = 2.5
+        assert self._idf().score("a cat runs here", self.REFS[0]) == pytest.approx(2.5)
+
+    def test_length_penalty_golden(self):
+        # cand "a cat" (2 tokens) vs 4-token ref: delta=2 ->
+        # penalty exp(-4/72); sim1 = sim2 = (1/sqrt3)*penalty, sim3=sim4=0
+        # score = 10 * 2*(1/sqrt3)*exp(-1/18) / 4
+        import math
+
+        expect = 10.0 * 2 * (1 / math.sqrt(3)) * math.exp(-1 / 18) / 4
+        assert self._idf().score("a cat", self.REFS[0]) == pytest.approx(expect)
+
+    def test_singleton_corpus_is_degenerate_but_corpus_idf_is_not(self):
+        """The round-1 ensemble bug: scoring under a 1-image corpus returns
+        identically 0 (log N = 0 kills every TF-IDF weight). The corpus-level
+        CiderIDF must give the perfect match a nonzero (=10) score."""
+        from robustvlm_tpu.vlm_eval.metrics.cider import CiderIDF, CiderScorer
+
+        assert CiderScorer(["a cat sits here"], [self.REFS[0]]).corpus() == 0.0
+        assert self._idf().score("a cat sits here", self.REFS[0]) == pytest.approx(10.0)
+
+
+class _SynthDS:
+    """2-image caption set with distinctive >=4-token captions."""
+
+    CAPS = [
+        ["a shiny red apple on the table", "the red apple sits on a table"],
+        ["a small blue bird flying high", "the blue bird flies in the sky"],
+    ]
+
+    def __len__(self):
+        return 2
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(i)
+        return {
+            "image": rng.rand(3, 32, 32).astype(np.float32),
+            "image_id": i,
+            "all_captions": self.CAPS[i],
+        }
+
+
+def _spec_prompt_fn(model, item, spec, query_only):
+    if query_only:
+        return model.get_caption_prompt(None)
+    if spec.targeted and spec.target_str:
+        return model.get_caption_prompt(spec.target_str)
+    caps = item["all_captions"]
+    return model.get_caption_prompt(caps[(spec.gt_idx or 0) % len(caps)])
+
+
+def _corpus_score_fn(ds):
+    from robustvlm_tpu.vlm_eval.metrics.cider import CiderIDF
+
+    idf = CiderIDF([ds[i]["all_captions"] for i in range(len(ds))])
+    return lambda caption, item: idf.score(caption, item["all_captions"]) * 100
+
+
+class _FakeCaptioner:
+    """Deterministic eval model: clean pixels caption perfectly, attacked
+    pixels caption garbage — isolates the runner's selection logic."""
+
+    def __init__(self, ds):
+        self._clean = {i: ds[i]["image"] for i in range(len(ds))}
+        self._caps = {i: ds[i]["all_captions"][0] for i in range(len(ds))}
+        self.prompts_seen = []
+        self.attack_calls = 0
+
+    def get_caption_prompt(self, cap=None):
+        return f"<image>Output:{'' if cap is None else cap}"
+
+    def set_inputs(self, prompts):
+        self.prompts_seen.extend(prompts)
+
+    def __call__(self, x):  # per-sample loss for the attack
+        self.attack_calls += 1
+        return jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=-1)
+
+    def get_outputs(self, x, prompts, max_new_tokens=8, num_beams=1):
+        xa = np.asarray(x[0])
+        for i, cl in self._clean.items():
+            if np.allclose(xa, cl, atol=1e-6):
+                return [self._caps[i]]
+        return ["meaningless garbage words entirely"]
+
+
+class TestEnsembleSelection:
+    """Worst-case selection semantics (the round-1 e2e test only asserted
+    plumbing and passed over the always-0 CIDEr bug)."""
+
+    def _run(self, tmp_path, schedule):
+        from robustvlm_tpu.vlm_eval.ensemble import EnsembleRunner
+
+        ds = _SynthDS()
+        model = _FakeCaptioner(ds)
+        runner = EnsembleRunner(
+            lambda prec: model,
+            eps=8 / 255, score_fn=_corpus_score_fn(ds),
+            prompt_fn=_spec_prompt_fn,
+            threshold=10.0, out_dir=str(tmp_path), max_new_tokens=4,
+            verbose=False,
+        )
+        return ds, model, runner.run(ds, schedule, save_adv=True)
+
+    def test_clean_scores_nonzero_and_attacks_run(self, tmp_path):
+        from robustvlm_tpu.vlm_eval.ensemble import AttackSpec
+
+        schedule = [
+            AttackSpec(kind="none", precision="full"),
+            AttackSpec(precision="full", n_iter=2, gt_idx=0),
+            AttackSpec(precision="full", n_iter=2, init_from_best=True),
+        ]
+        ds, model, res = self._run(tmp_path, schedule)
+        # clean stage: perfect caption -> score 1000 (nonzero!), far above
+        # the cider<10 threshold -> both images stay left_to_attack
+        # (before round 2 the singleton-IDF score was identically 0 and the
+        # whole schedule no-opped after stage 1)
+        assert model.attack_calls > 0, "attack stages must actually run"
+        # worst case kept: attacked captions are garbage (disjoint from the
+        # refs -> CIDEr 0), strictly below the clean score
+        assert all(s == pytest.approx(0.0) for s in res["scores"].values())
+        assert all(v is not None for v in res["outputs"].values())
+        assert (tmp_path / "left_to_attack.json").exists()
+        assert (tmp_path / "gt_dict.json").exists()
+        assert (tmp_path / "adv" / "0.npy").exists()
+
+    def test_clean_only_schedule_keeps_images_active(self, tmp_path):
+        from robustvlm_tpu.vlm_eval.ensemble import AttackSpec
+
+        _, model, res = self._run(
+            tmp_path, [AttackSpec(kind="none", precision="full")]
+        )
+        # perfect clean captions score >> threshold: nothing flips inactive
+        # (score averages over both refs, so: 10.0 vs ref0 exactly, partial
+        # vs ref1 -> well above 100 on the x100 scale either way)
+        assert all(res["left_to_attack"].values())
+        assert all(s > 100.0 for s in res["scores"].values())
+
+    def test_targeted_stage_teacher_forces_target(self, tmp_path):
+        from robustvlm_tpu.vlm_eval.ensemble import AttackSpec
+
+        schedule = [
+            AttackSpec(precision="full", n_iter=2, targeted=True,
+                       target_str="visit evil site"),
+        ]
+        _, model, _ = self._run(tmp_path, schedule)
+        # the teacher-forcing prompt must carry the TARGET string, not a gt
+        # caption (round-1 bug: target_str was dead and the gt caption's
+        # loss was minimized, reinforcing the correct answer)
+        assert any("visit evil site" in p for p in model.prompts_seen)
+        assert not any("red apple" in p for p in model.prompts_seen)
+
+
 class TestEnsembleRunner:
     def test_end_to_end_tiny(self, tmp_path):
-        """Full worst-case schedule on a 2-image synthetic caption set."""
+        """Full worst-case schedule through the real tiny-LLaVA adapter."""
         from robustvlm_tpu.vlm_eval.ensemble import AttackSpec, EnsembleRunner
-        from robustvlm_tpu.vlm_eval.metrics.cider import CiderScorer
 
-        class SynthDS:
-            def __len__(self):
-                return 2
-
-            def __getitem__(self, i):
-                rng = np.random.RandomState(i)
-                return {
-                    "image": rng.rand(3, 32, 32).astype(np.float32),
-                    "image_id": i,
-                    "all_captions": [f"synthetic caption {i} v{j}" for j in range(3)],
-                }
-
-        def prompt_fn(model, item, gt_idx, query_only):
-            if query_only:
-                return model.get_caption_prompt(None)
-            caps = item["all_captions"]
-            return model.get_caption_prompt(caps[(gt_idx or 0) % len(caps)])
-
-        def score_fn(caption, item):
-            return CiderScorer([caption], [item["all_captions"]]).corpus() * 100
-
+        ds = _SynthDS()
         runner = EnsembleRunner(
             lambda prec: _llava_model(prec),
-            eps=8 / 255, score_fn=score_fn, prompt_fn=prompt_fn,
+            eps=8 / 255, score_fn=_corpus_score_fn(ds),
+            prompt_fn=_spec_prompt_fn,
             threshold=5.0, out_dir=str(tmp_path), max_new_tokens=4,
             verbose=False,
         )
@@ -232,13 +390,38 @@ class TestEnsembleRunner:
             AttackSpec(precision="full", n_iter=2, gt_idx=0),
             AttackSpec(precision="full", n_iter=2, init_from_best=True),
         ]
-        res = runner.run(SynthDS(), schedule, save_adv=True)
+        res = runner.run(ds, schedule, save_adv=True)
         assert set(res["scores"]) == {0, 1}
         assert all(v is not None for v in res["outputs"].values())
         assert (tmp_path / "left_to_attack.json").exists()
         assert (tmp_path / "gt_dict.json").exists()
         # adv images persisted
         assert (tmp_path / "adv" / "0.npy").exists()
+
+    def test_targeted_attack_decreases_target_loss(self, tmp_path):
+        """A targeted stage must minimize the teacher-forced target loss
+        (crit=-loss), measurably increasing the target's log-likelihood."""
+        from robustvlm_tpu.vlm_eval.ensemble import AttackSpec, EnsembleRunner
+
+        ds = _SynthDS()
+        model = _llava_model("full")
+        target = "purple elephant dancing wildly"
+        runner = EnsembleRunner(
+            lambda prec: model,
+            eps=16 / 255, score_fn=_corpus_score_fn(ds),
+            prompt_fn=_spec_prompt_fn,
+            threshold=-1.0, out_dir=str(tmp_path), max_new_tokens=4,
+            verbose=False,
+        )
+        schedule = [AttackSpec(precision="full", n_iter=6, targeted=True,
+                               target_str=target)]
+        res = runner.run(ds, schedule, n_samples=1, save_adv=False)
+        x_clean = jnp.asarray(ds[0]["image"])[None]
+        x_adv = jnp.asarray(res["adv"][0])[None]
+        model.set_inputs([model.get_caption_prompt(target)])
+        loss_clean = float(model(x_clean)[0])
+        loss_adv = float(model(x_adv)[0])
+        assert loss_adv < loss_clean, (loss_adv, loss_clean)
 
 
 class TestPope:
