@@ -146,23 +146,72 @@ def fab_attack(
     beta: float = 0.9,
     targeted: bool = False,
     n_target_classes: int = 9,
+    n_boundary_classes: Optional[int] = None,
     rng: Optional[jax.Array] = None,
 ) -> FABResult:
     """Minimal-norm FAB. With `eps`, restarts start from random points in
     the eps-ball and `adv_found` reflects ||delta|| <= eps (the AutoAttack
-    usage); without, pure minimal-norm search from x."""
+    usage); without, pure minimal-norm search from x.
+
+    Untargeted mode re-selects the boundary class at EVERY iteration: it
+    computes f_y - f_k and input gradients for every candidate class and
+    projects against the linearized boundary minimizing |f| / ||w||_dual
+    (reference fab_pt.py:77-99 get_diff_logits_grads_batch +
+    fab_base.py attack_single_run). `n_boundary_classes` restricts the
+    candidate set to the top-m classes by clean logits (static per run;
+    selection within it stays per-iteration) to bound the per-iteration
+    backward passes at m; default: all classes except y."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b = x.shape[0]
     shape_tail = x.shape[1:]
-    n_cls = None
 
     logits0 = logits_fn(x)
     n_cls = logits0.shape[-1]
     order = jnp.argsort(logits0, axis=-1)
 
+    # dual norm of the attack norm (|f|/||w||_dual is the linearized
+    # distance to the boundary): linf<->l1, l2<->l2, l1<->linf
+    def dual_norm(wf):
+        if norm == "linf":
+            return jnp.sum(jnp.abs(wf), axis=-1)
+        if norm == "l2":
+            return jnp.sqrt(jnp.sum(wf * wf, axis=-1))
+        return jnp.max(jnp.abs(wf), axis=-1)
+
+    # candidate boundary classes for untargeted mode: every class but y,
+    # ordered by clean logit (descending) so a top-m cut keeps the closest
+    m_all = n_cls - 1
+    m = min(n_boundary_classes or m_all, m_all)
+    desc = order[:, ::-1]  # (B, C) by clean logit, descending
+    not_y = desc != y[:, None]
+    # stable selection of the first m non-y columns per row
+    key = jnp.where(not_y, jnp.arange(n_cls)[None, :], n_cls)
+    cand = jnp.take_along_axis(desc, jnp.argsort(key, axis=1), axis=1)[:, :m]
+
+    def boundaries(xa):
+        """(B, m) boundary values f_y - f_k over the candidate classes."""
+        lg = logits_fn(xa)
+        fy = jnp.take_along_axis(lg, y[:, None], axis=1)
+        fk = jnp.take_along_axis(lg, cand, axis=1)
+        return fy - fk
+
+    def select_boundary(u):
+        """Per-iteration closest-boundary selection (reference
+        fab_base.py: df.abs() / dg-dual-norm argmin)."""
+        diff_all = boundaries(u)  # (B, m)
+        # batch rows are independent: d sum_b diff[b,k] / d u[b] is the
+        # per-sample gradient, so one jacrev yields all m class grads
+        jac = jax.jacrev(lambda xx: jnp.sum(boundaries(xx), axis=0))(u)
+        w_all = jnp.moveaxis(jac.reshape(m, b, -1), 0, 1)  # (B, m, D)
+        dist = jnp.abs(diff_all) / (1e-12 + dual_norm(w_all))
+        k_star = jnp.argmin(dist, axis=1)  # (B,)
+        diff = jnp.take_along_axis(diff_all, k_star[:, None], axis=1)[:, 0]
+        w = jnp.take_along_axis(w_all, k_star[:, None, None], axis=1)[:, 0]
+        return diff, w.reshape(-1, *shape_tail)
+
     def boundary_fn(t_idx):
-        """f_y(x) - f_t(x) and its input gradient, per example."""
+        """Fixed-class f_y(x) - f_t(x) and its input gradient (targeted)."""
 
         def g(xa):
             lg = logits_fn(xa)
@@ -177,7 +226,7 @@ def fab_attack(
         return value_and_grad
 
     def single_run(t_idx, x0):
-        vg = boundary_fn(t_idx)
+        vg = boundary_fn(t_idx) if t_idx is not None else select_boundary
 
         def body(carry, _):
             u, best, best_norm, found = carry
@@ -198,8 +247,9 @@ def fab_attack(
                 0.0, 1.0,
             ).reshape(-1, *shape_tail)
 
-            diff_new, _ = vg(u_new)
-            is_adv = diff_new < 0
+            # true adversarial criterion: actual misclassification
+            # (reference fab_base.py: predict(x1).max(1)[1] != y)
+            is_adv = jnp.argmax(logits_fn(u_new), axis=-1) != y
             pert_norm = _norms(u_new - x, norm)
             improved = is_adv & (pert_norm < best_norm)
             best = jnp.where(
@@ -226,10 +276,12 @@ def fab_attack(
         )
         return best, best_norm, found
 
+    # untargeted: one run with per-iteration closest-boundary selection;
+    # targeted: one fixed-class run per top-k alternative class
     targets = (
         [order[:, -(k + 2)] for k in range(n_target_classes)]
         if targeted
-        else [order[:, -2]]
+        else [None]
     )
 
     best = jnp.zeros_like(x)

@@ -62,10 +62,15 @@ def square_attack_linf(
     n_queries: int = 5000,
     p_init: float = 0.8,
     rng: Optional[jax.Array] = None,
-    rescale_schedule: bool = False,
+    rescale_schedule: bool = True,
     chunk: int = 250,
 ) -> SquareResult:
-    """Run Linf Square Attack; returns best-found adversarial points."""
+    """Run Linf Square Attack; returns best-found adversarial points.
+
+    rescale_schedule=True matches the reference default (square.py
+    resc_schedule=True, used by AutoAttack): the p-schedule brackets are
+    expressed on a 10k-query scale and rescaled to n_queries, so the
+    smaller-square phases still execute at n_queries != 10000."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b, c, h, w = x.shape
@@ -187,7 +192,7 @@ def square_attack_l2(
     n_queries: int = 5000,
     p_init: float = 0.8,
     rng: Optional[jax.Array] = None,
-    rescale_schedule: bool = False,
+    rescale_schedule: bool = True,
 ) -> SquareResult:
     """L2 Square Attack (reference square.py:305-380): bipolar eta squares
     with norm-budget redistribution between two windows, full-delta
@@ -343,7 +348,7 @@ def square_attack_l1(
     n_queries: int = 5000,
     p_init: float = 0.8,
     rng: Optional[jax.Array] = None,
-    rescale_schedule: bool = False,
+    rescale_schedule: bool = True,
 ) -> SquareResult:
     """L1 Square Attack (reference square.py:422-527): bipolar L1 eta squares
     with mass-budget redistribution and sorted-cumsum L1-ball projection."""

@@ -337,10 +337,16 @@ class FlamingoEvalModel:
 
 def make_frame_mask(vision_x_shape, mask_out: str = "context"):
     """Gradient mask over few-shot media frames (reference
-    vlm_eval/attacks/pgd.py:75-87 _set_mask): vision_x is (B, T_img, F, C,
-    H, W); 'context' zeroes every frame except the LAST (only the query
-    image is attacked), 'none' attacks everything, an int k zeroes all but
-    frame k."""
+    vlm_eval/attacks/pgd.py:75-87 _set_mask). vision_x is (B, T_img, F, C,
+    H, W). Matching the reference exactly:
+
+    - 'context': zero every frame except the LAST (attack only the query);
+    - 'query':   zero ONLY the last frame (attack only the context shots);
+    - int k:     zero ONLY frame k (attack everything else);
+    - 'none':    attack everything.
+
+    The round-1 int semantics (attack ONLY frame k) are kept under the
+    explicit spelling 'only:k'."""
     import numpy as np
 
     mask = np.ones(vision_x_shape, np.float32)
@@ -349,8 +355,12 @@ def make_frame_mask(vision_x_shape, mask_out: str = "context"):
         return jnp.asarray(mask)
     if mask_out == "context":
         mask[:, : t - 1] = 0.0
-    else:
-        k = int(mask_out)
+    elif mask_out == "query":
+        mask[:, t - 1] = 0.0
+    elif isinstance(mask_out, str) and mask_out.startswith("only:"):
+        k = int(mask_out[len("only:"):])
         mask[:, :k] = 0.0
         mask[:, k + 1:] = 0.0
+    else:
+        mask[:, int(mask_out)] = 0.0
     return jnp.asarray(mask)

@@ -79,3 +79,31 @@ class TestFAB:
         # essentially nothing should fit in a 1e-6 ball
         assert not bool(res.adv_found.any())
         np.testing.assert_allclose(res.x_adv, x)
+
+
+class TestBoundaryReselection:
+    def test_untargeted_picks_closest_boundary_not_runner_up(self):
+        """Clean runner-up (class 1) is a constant logit: its boundary has
+        zero gradient and is unreachable. The closest boundary belongs to
+        class 2. Per-iteration |f|/||w||_dual selection (reference fab_pt)
+        must find it; the round-1 fixed-runner-up variant could not."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from robustvlm_tpu.attacks.fab import fab_attack
+
+        def fn(x):
+            f = x.reshape(x.shape[0], -1)
+            f0 = jnp.ones((x.shape[0],))
+            f1 = 0.95 * jnp.ones((x.shape[0],))
+            f2 = 4.0 * (f[:, 0] - 0.5) + 0.5
+            return jnp.stack([f0, f1, f2], axis=1)
+
+        x = jnp.full((4, 1, 2, 2), 0.5, jnp.float32)
+        y = jnp.zeros((4,), jnp.int32)
+        assert bool(jnp.all(jnp.argmax(fn(x), -1) == 0))
+        res = fab_attack(fn, x, y, norm="linf", n_iter=20, n_restarts=1)
+        assert bool(jnp.all(res.adv_found))
+        assert bool(jnp.all(jnp.argmax(fn(res.x_adv), -1) == 2))
+        # minimal-norm: boundary at x0 where 1 = 4(x0-.5)+.5 -> delta=0.125
+        assert float(res.norms.max()) < 0.2

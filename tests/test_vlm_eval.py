@@ -551,8 +551,16 @@ class TestFrameMask:
 
         m = make_frame_mask((2, 3, 1, 3, 8, 8), "context")
         assert float(m[:, :2].max()) == 0.0 and float(m[:, 2].min()) == 1.0
+        # reference semantics: int k zeroes ONLY frame k (_set_mask:81-82)
         m2 = make_frame_mask((2, 3, 1, 3, 8, 8), "1")
-        assert float(m2[:, 1].min()) == 1.0
-        assert float(m2[:, 0].max()) == 0.0 and float(m2[:, 2].max()) == 0.0
+        assert float(m2[:, 1].max()) == 0.0
+        assert float(m2[:, 0].min()) == 1.0 and float(m2[:, 2].min()) == 1.0
+        # reference 'query': zero ONLY the last frame
+        mq = make_frame_mask((2, 3, 1, 3, 8, 8), "query")
+        assert float(mq[:, 2].max()) == 0.0 and float(mq[:, :2].min()) == 1.0
+        # 'only:k' keeps the attack-only-frame-k behavior
+        mo = make_frame_mask((2, 3, 1, 3, 8, 8), "only:1")
+        assert float(mo[:, 1].min()) == 1.0
+        assert float(mo[:, 0].max()) == 0.0 and float(mo[:, 2].max()) == 0.0
         m3 = make_frame_mask((2, 3, 1, 3, 8, 8), "none")
         assert float(m3.min()) == 1.0
