@@ -1,5 +1,5 @@
 from robustvlm_tpu.attacks.pgd import pgd_attack
-from robustvlm_tpu.attacks.apgd import APGDResult, apgd_attack
+from robustvlm_tpu.attacks.apgd import APGDResult, apgd_attack, apgd_decr_eps, apgd_restarts
 from robustvlm_tpu.attacks.fab import FABResult, fab_attack
 from robustvlm_tpu.attacks.square import (
     SquareResult,
@@ -11,6 +11,8 @@ from robustvlm_tpu.attacks.square import (
 __all__ = [
     "pgd_attack",
     "apgd_attack",
+    "apgd_decr_eps",
+    "apgd_restarts",
     "APGDResult",
     "fab_attack",
     "FABResult",

@@ -410,3 +410,115 @@ def apgd_attack(
         loss_best=jax.lax.stop_gradient(carry["loss_best"]),
         acc=carry["acc"],
     )
+
+
+def apgd_decr_eps(
+    model_fn,
+    x: jax.Array,
+    y: Optional[jax.Array] = None,
+    *,
+    criterion,
+    eps: float,
+    n_iter: int = 100,
+    norm: str = "linf",
+    rng: Optional[jax.Array] = None,
+    **kwargs,
+) -> APGDResult:
+    """Multi-epsilon APGD (reference autopgd_base.py:550-582 decr_eps_pgd):
+    run the attack at [3eps, 2eps, eps] for [.3, .3, .4]*n_iter iterations,
+    warm-starting each stage from the previous stage's best point projected
+    into the shrinking ball. The large-ball stages explore; the final stage
+    guarantees the eps ball. Used for L1 (reference AutoAttack sets
+    use_largereps=True for L1, autoattack.py:313-314); Linf also supported.
+    """
+    norm = canonical_norm(norm)
+    if norm not in ("linf", "l1"):
+        raise ValueError(f"decr_eps_pgd supports linf/l1, got {norm}")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    kwargs.pop("use_rs", None)  # stages are explicitly warm-started
+    kwargs.pop("x_init", None)
+
+    epss = [3.0 * eps, 2.0 * eps, 1.0 * eps]
+    iters = [math.ceil(0.3 * n_iter), math.ceil(0.3 * n_iter)]
+    iters.append(n_iter - sum(iters))
+
+    x_init = x + jax.random.normal(rng, x.shape, x.dtype)
+    res = None
+    for i, (e, ni) in enumerate(zip(epss, iters)):
+        # project the carried init into this stage's ball (reference
+        # :570-576: L1_projection / clamp-into-Linf-ball + [0,1])
+        if norm == "l1":
+            x_init = x_init + l1_ball_projection(x, x_init - x, e)
+        else:
+            x_init = jnp.clip(x_init, 0.0, 1.0)
+            x_init = jnp.clip(x_init, x - e, x + e)
+        res = apgd_attack(
+            model_fn, x, y, criterion=criterion, eps=e, n_iter=ni,
+            norm=norm, x_init=x_init, rng=jax.random.fold_in(rng, i),
+            **kwargs,
+        )
+        x_init = res.x_best
+    return res
+
+
+def apgd_restarts(
+    model_fn,
+    x: jax.Array,
+    y: Optional[jax.Array] = None,
+    *,
+    criterion,
+    eps: float,
+    n_iter: int = 100,
+    norm: str = "linf",
+    n_restarts: int = 1,
+    use_largereps: bool = False,
+    rng: Optional[jax.Array] = None,
+    use_rs: bool = True,
+    **kwargs,
+) -> APGDResult:
+    """Restart loop for EVERY APGD variant (reference APGDAttack.perturb,
+    autopgd_base.py:453-548): n_restarts independent randomly-initialized
+    runs. Per example, x_best_adv keeps the FIRST successful adversarial
+    across restarts and x_best/loss_best track the highest-loss point
+    (`best_loss=True` semantics) — both reference return modes at once.
+    Shape-static: each restart attacks the full batch and already-fooled
+    examples are masked out of the adversarial update (the reference's
+    shrinking ind_to_fool gather, recast dense).
+
+    use_largereps routes each restart through the decr-eps schedule
+    (reference :518-521 -> decr_eps_pgd)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    ndim1 = (-1,) + (1,) * (x.ndim - 1)
+
+    acc = None
+    x_adv = x
+    x_best = x
+    loss_best = jnp.full((x.shape[0],), -jnp.inf, jnp.float32)
+
+    for r in range(max(n_restarts, 1)):
+        kr = jax.random.fold_in(rng, r)
+        if use_largereps:
+            res = apgd_decr_eps(
+                model_fn, x, y, criterion=criterion, eps=eps, n_iter=n_iter,
+                norm=norm, rng=kr, **kwargs,
+            )
+        else:
+            res = apgd_attack(
+                model_fn, x, y, criterion=criterion, eps=eps, n_iter=n_iter,
+                norm=norm, use_rs=use_rs, rng=kr, **kwargs,
+            )
+        if acc is None:
+            acc, x_adv = res.acc, res.x_best_adv
+        else:
+            newly_fooled = jnp.logical_and(acc, jnp.logical_not(res.acc))
+            x_adv = jnp.where(newly_fooled.reshape(ndim1), res.x_best_adv, x_adv)
+            acc = jnp.logical_and(acc, res.acc)
+        improved = res.loss_best > loss_best
+        x_best = jnp.where(improved.reshape(ndim1), res.x_best, x_best)
+        loss_best = jnp.where(improved, res.loss_best, loss_best)
+
+    return APGDResult(
+        x_best=x_best, x_best_adv=x_adv, loss_best=loss_best, acc=acc
+    )

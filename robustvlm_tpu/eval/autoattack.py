@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from robustvlm_tpu.attacks.apgd import apgd_attack
+from robustvlm_tpu.attacks.apgd import apgd_restarts
 from robustvlm_tpu.attacks.square import square_attack_linf
 from robustvlm_tpu.eval import checks
 from robustvlm_tpu.eval.state import EvaluationState
@@ -59,6 +59,7 @@ class AutoAttackTPU:
         square_n_queries: int = 5000,
         alpha: Optional[float] = None,
         use_rs: bool = True,
+        use_largereps: Optional[bool] = None,
         verbose: bool = True,
         host_loop: bool = False,
     ):
@@ -72,6 +73,11 @@ class AutoAttackTPU:
         self.square_n_queries = square_n_queries
         self.alpha = alpha
         self.use_rs = use_rs
+        # the decr-eps multi-epsilon schedule is the reference default for L1
+        # (autoattack.py:313-314)
+        self.use_largereps = (
+            (norm == "l1") if use_largereps is None else use_largereps
+        )
         self.verbose = verbose
         self.host_loop = host_loop
         if version != "custom":
@@ -96,23 +102,19 @@ class AutoAttackTPU:
         common = dict(
             eps=self.eps, n_iter=self.n_iter, norm=self.norm,
             alpha=self.alpha, use_rs=self.use_rs, host_loop=self.host_loop,
+            n_restarts=self.n_restarts, use_largereps=self.use_largereps,
         )
         if attack == "apgd-ce":
-            adv = xb
-            for r in range(self.n_restarts):
-                res = apgd_attack(
-                    self.logits_fn, xb, yb,
-                    criterion=lambda o, yy: ce_loss(o, yy, reduction="none"),
-                    rng=jax.random.fold_in(rng, r), **common,
-                )
-                # keep the first successful adversarial per example across restarts
-                fooled = ~np.asarray(res.acc)
-                adv = jnp.where(
-                    jnp.asarray(fooled)[:, None, None, None], res.x_best_adv, adv
-                )
-            return adv
+            # restart loop (and L1 decr-eps schedule) live inside the attack
+            # for every APGD variant (reference autopgd_base.py:453-582)
+            res = apgd_restarts(
+                self.logits_fn, xb, yb,
+                criterion=lambda o, yy: ce_loss(o, yy, reduction="none"),
+                rng=rng, **common,
+            )
+            return res.x_best_adv
         if attack == "apgd-dlr":
-            res = apgd_attack(
+            res = apgd_restarts(
                 self.logits_fn, xb, yb, criterion=dlr_loss,
                 rng=rng, **common,
             )
@@ -130,7 +132,7 @@ class AutoAttackTPU:
                 y_target = order[:, -tc]
                 # y_target threads through as a runtime jit argument so each
                 # target class (and each batch) reuses one compiled program
-                res = apgd_attack(
+                res = apgd_restarts(
                     self.logits_fn, xb, yb,
                     criterion=dlr_loss_targeted,
                     criterion_args=(y_target,),

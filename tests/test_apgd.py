@@ -227,3 +227,75 @@ class TestHostLoopParity:
         np.testing.assert_allclose(a.x_best_adv, b.x_best_adv, atol=1e-6)
         np.testing.assert_allclose(a.loss_best, b.loss_best, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(a.acc), np.asarray(b.acc))
+
+
+class TestRestartsAndDecrEps:
+    """Canonical perturb-level features (reference autopgd_base.py:453-582)."""
+
+    def _problem(self):
+        from robustvlm_tpu.ops.losses import ce_loss
+
+        rng = np.random.RandomState(0)
+        W = jnp.asarray(rng.randn(3 * 8 * 8, 5).astype(np.float32)) * 0.05
+        fn = lambda x: x.reshape(x.shape[0], -1) @ W
+        x = jnp.asarray(rng.rand(12, 3, 8, 8).astype(np.float32))
+        y = jnp.argmax(fn(x), -1)
+        crit = lambda o, t: ce_loss(o, t, reduction="none")
+        return fn, x, y, crit
+
+    def test_restarts_monotone_improvement(self):
+        from robustvlm_tpu.attacks.apgd import apgd_restarts
+
+        fn, x, y, crit = self._problem()
+        base = jax.random.PRNGKey(7)
+        r1 = apgd_restarts(fn, x, y, criterion=crit, eps=4 / 255,
+                           n_iter=5, norm="linf", n_restarts=1, rng=base)
+        r3 = apgd_restarts(fn, x, y, criterion=crit, eps=4 / 255,
+                           n_iter=5, norm="linf", n_restarts=3, rng=base)
+        # restart 0 of the 3-run uses the same rng as the 1-run: per-example
+        # best loss can only improve, fooled set can only grow
+        assert np.all(np.asarray(r3.loss_best) >= np.asarray(r1.loss_best) - 1e-6)
+        assert not np.any(~np.asarray(r1.acc) & np.asarray(r3.acc))
+        # first-success semantics: every fooled example is actually fooled
+        fooled = ~np.asarray(r3.acc)
+        preds = np.asarray(jnp.argmax(fn(r3.x_best_adv), -1))
+        assert np.all(preds[fooled] != np.asarray(y)[fooled])
+        # eps ball respected
+        assert float(jnp.abs(r3.x_best_adv - x).max()) <= 4 / 255 + 1e-6
+
+    def test_decr_eps_final_ball_l1(self):
+        from robustvlm_tpu.attacks.apgd import apgd_decr_eps
+
+        fn, x, y, crit = self._problem()
+        eps = 12.0
+        res = apgd_decr_eps(fn, x, y, criterion=crit, eps=eps, n_iter=10,
+                            norm="l1", rng=jax.random.PRNGKey(3))
+        # the final stage guarantees the TARGET ball even though earlier
+        # stages ran at 3x/2x eps
+        l1 = np.abs(np.asarray(res.x_best_adv - x)).reshape(12, -1).sum(-1)
+        assert float(l1.max()) <= eps * (1 + 1e-4)
+        l1b = np.abs(np.asarray(res.x_best - x)).reshape(12, -1).sum(-1)
+        assert float(l1b.max()) <= eps * (1 + 1e-4)
+        assert np.all(np.isfinite(np.asarray(res.loss_best)))
+        # [0,1] clamp
+        assert float(res.x_best_adv.min()) >= 0.0
+        assert float(res.x_best_adv.max()) <= 1.0
+
+    def test_decr_eps_segments_sum(self):
+        # iteration split .3/.3/.4 covers exactly n_iter
+        import math
+        n = 10
+        iters = [math.ceil(0.3 * n), math.ceil(0.3 * n)]
+        iters.append(n - sum(iters))
+        assert sum(iters) == n and all(i > 0 for i in iters)
+
+    def test_restarts_largereps_linf(self):
+        from robustvlm_tpu.attacks.apgd import apgd_restarts
+
+        fn, x, y, crit = self._problem()
+        res = apgd_restarts(fn, x, y, criterion=crit, eps=8 / 255, n_iter=10,
+                            norm="linf", n_restarts=2, use_largereps=True,
+                            rng=jax.random.PRNGKey(1))
+        assert float(jnp.abs(res.x_best_adv - x).max()) <= 8 / 255 + 1e-6
+        fooled = ~np.asarray(res.acc)
+        assert fooled.any()
