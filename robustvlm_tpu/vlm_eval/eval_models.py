@@ -68,6 +68,16 @@ def truncate_at_stops(text: str, stop_strings) -> str:
     return text.strip()
 
 
+def _encode_plain(tok, text: str) -> List[int]:
+    """Encode a plain-text segment in ONE tokenizer call, without the
+    tokenizer's own special tokens (adapters add BOS/EOS explicitly). HF
+    tokenizers take add_special_tokens; the test stand-ins don't."""
+    try:
+        return list(tok.encode(text, add_special_tokens=False))
+    except TypeError:
+        return list(tok.encode(text))
+
+
 def _pad_right(seqs: Sequence[Sequence[int]], pad: int, length: int):
     out = np.full((len(seqs), length), pad, np.int32)
     mask = np.zeros((len(seqs), length), np.float32)
@@ -142,9 +152,9 @@ class LlavaEvalModel:
         for p in full_prompts:
             pre_txt, post_txt = split_at_image(p)
             ctx, ans = answer_span(post_txt)
-            pre_ids = [self.tok.bos_token_id] + self.tok.encode(pre_txt)
-            ctx_ids = self.tok.encode(ctx)
-            ans_ids = self.tok.encode(ans) + [self.tok.eos_token_id]
+            pre_ids = [self.tok.bos_token_id] + _encode_plain(self.tok, pre_txt)
+            ctx_ids = _encode_plain(self.tok, ctx)
+            ans_ids = _encode_plain(self.tok, ans) + [self.tok.eos_token_id]
             pres.append(pre_ids)
             posts.append(ctx_ids + ans_ids)
             masks.append([0.0] * len(ctx_ids) + [1.0] * len(ans_ids))
@@ -181,8 +191,8 @@ class LlavaEvalModel:
         from robustvlm_tpu.models.llava.model import make_llava_decode_fns
 
         pre_txt, post_txt = split_at_image(prompts[0])
-        pre_ids = [self.tok.bos_token_id] + self.tok.encode(pre_txt)
-        post_seqs = [self.tok.encode(split_at_image(p)[1]) for p in prompts]
+        pre_ids = [self.tok.bos_token_id] + _encode_plain(self.tok, pre_txt)
+        post_seqs = [_encode_plain(self.tok, split_at_image(p)[1]) for p in prompts]
         toks, n_pad = left_pad(post_seqs, self.tok.pad_token_id)
         pf, df = make_llava_decode_fns(
             self.params, self.cfg, x01, jnp.asarray([pre_ids] * x01.shape[0]),
@@ -253,32 +263,50 @@ class FlamingoEvalModel:
         return f"<image>Question:{question.strip()} Short answer:{a}"
 
     def _encode(self, text: str) -> List[int]:
+        """Tokenize WHOLE text segments between the special markers.
+
+        Real BPE tokenizers are whitespace-sensitive (leading-space merge
+        rules), so encoding word-by-word produces different ids than
+        encoding the segment at once — the reference tokenizes the full
+        prompt in one call with <image>/<|endofchunk|> registered as
+        special tokens (of_eval_model_adv.py:183-198, factory.py special
+        tokens). Here the text is split ONLY on those markers and each
+        plain-text segment is encoded in one call."""
+        import re
+
         out = []
-        # pad special markers so whitespace tokenization isolates them
-        # ('<image>Output:' must yield the media token; without this the
-        # media_locations mask is empty and image gradients vanish)
-        text = (
-            text.replace("<|endofchunk|>", " <eoc> ")
-            .replace("<image>", " <image> ")
-        )
-        for part in text.split():
-            if part == "<image>":
+        for seg in re.split(r"(<image>|<\|endofchunk\|>)", text):
+            if seg == "<image>":
                 out.append(self.cfg.media_token_id)
-            elif part == "<eoc>":
+            elif seg == "<|endofchunk|>":
                 out.append(self.tok.eos_token_id)
-            else:
-                out.extend(self.tok.encode(part))
+            elif seg:
+                out.extend(_encode_plain(self.tok, seg))
         return out
 
     def set_inputs(self, full_prompts: Sequence[str]):
         langs, masks = [], []
         for p in full_prompts:
-            ids = self._encode(p)
-            # answer span: after the LAST ':' occurrence in text space
-            # (reference models/utils.py get_label :14-40 last-colon masking)
+            # answer span: after the LAST ':' (reference models/utils.py
+            # get_label :14-40 masks everything up to & incl. the last colon
+            # token). Context and answer are encoded as separate whole
+            # segments — identical ids to whole-string encoding for
+            # GPT-2-family BPEs, whose pre-tokenizer never merges across a
+            # ':'-to-space boundary (pinned by a CLIP-BPE test) — which
+            # makes the mask exact in token space by construction.
             marker = p.rfind(":")
-            ctx_ids = self._encode(p[: marker + 1]) if marker >= 0 else []
-            m = [0.0] * len(ctx_ids) + [1.0] * (len(ids) - len(ctx_ids))
+            if marker >= 0:
+                ctx_ids = self._encode(p[: marker + 1])
+                ans_ids = self._encode(p[marker + 1:])
+            else:
+                ctx_ids, ans_ids = [], self._encode(p)
+            ids = ctx_ids + ans_ids
+            m = [0.0] * len(ctx_ids) + [1.0] * len(ans_ids)
+            # special tokens never contribute loss (reference get_label
+            # masks media/eoc/pad label positions to -100)
+            for k, t_id in enumerate(ids):
+                if t_id in (self.cfg.media_token_id, self.tok.eos_token_id):
+                    m[k] = 0.0
             langs.append(ids)
             masks.append(m)
         t = min(max(len(x) for x in langs), self.max_len)

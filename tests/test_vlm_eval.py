@@ -564,3 +564,93 @@ class TestFrameMask:
         assert float(mo[:, 0].max()) == 0.0 and float(mo[:, 2].max()) == 0.0
         m3 = make_frame_mask((2, 3, 1, 3, 8, 8), "none")
         assert float(m3.min()) == 1.0
+
+
+class TestWholeSegmentTokenization:
+    """The Flamingo adapter must encode whole text segments between the
+    special markers, not word-by-word: byte-level BPEs merge the leading
+    space into the word token (GPT-2 family, incl. the MPT tokenizer), so
+    per-word encoding diverges from whole-string encoding (the reference
+    tokenizes the full prompt at once, of_eval_model_adv.py:183-198)."""
+
+    @staticmethod
+    def _gpt2_tok(tmp_path):
+        """Tiny synthetic GPT-2 byte-level BPE with leading-space merges
+        (' cat' -> one token; 'cat' -> three)."""
+        import json
+
+        chars = list("Output:catwhnsierdl?bQ ")
+        sym = [c if c != " " else "\u0120" for c in chars]
+        vocab = {s: i for i, s in enumerate(dict.fromkeys(sym))}
+        for extra in ["\u0120c", "\u0120ca", "\u0120cat",
+                      "\u0120b", "\u0120bi", "\u0120bir", "\u0120bird"]:
+            vocab[extra] = len(vocab)
+        vocab["<|endoftext|>"] = len(vocab)
+        merges = ["#version: test", "\u0120 c", "\u0120c a", "\u0120ca t",
+                  "\u0120 b", "\u0120b i", "\u0120bi r", "\u0120bir d"]
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        # GPT2Tokenizer drops the final line (expects trailing newline)
+        (tmp_path / "merges.txt").write_text("\n".join(merges) + "\n")
+        from transformers import GPT2Tokenizer
+
+        tok = GPT2Tokenizer(
+            str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+        )
+        tok.pad_token = "<|endoftext|>"
+        return tok
+
+    def _flamingo(self, tok):
+        import dataclasses
+
+        from robustvlm_tpu.models.flamingo.model import (
+            FLAMINGO_CONFIGS, init_flamingo_params,
+        )
+        from robustvlm_tpu.vlm_eval.eval_models import FlamingoEvalModel
+
+        cfg = dataclasses.replace(FLAMINGO_CONFIGS["test-tiny"], media_token_id=511)
+        params = init_flamingo_params(jax.random.PRNGKey(0), cfg)
+        return FlamingoEvalModel(params, cfg, tok, compute_dtype=jnp.float32)
+
+    def test_segment_ids_match_whole_string_encoding(self, tmp_path):
+        tok = self._gpt2_tok(tmp_path)
+        m = self._flamingo(tok)
+        text = "Output: cat"
+        ids = m._encode(f"<image>{text}<|endofchunk|>")
+        expect = (
+            [m.cfg.media_token_id]
+            + tok.encode(text, add_special_tokens=False)
+            + [tok.eos_token_id]
+        )
+        assert ids == expect
+        # word-by-word encoding demonstrably differs on this BPE: ' cat'
+        # is one merged token, bare 'cat' is three
+        word_by_word = []
+        for w in text.split():
+            word_by_word.extend(tok.encode(w, add_special_tokens=False))
+        assert word_by_word != tok.encode(text, add_special_tokens=False)
+
+    def test_ctx_answer_split_is_prefix_exact(self, tmp_path):
+        """set_inputs encodes context and answer as separate segments; the
+        GPT-2 pre-tokenizer never merges across the ':'-to-space boundary,
+        so the ids must equal whole-string encoding (mask exact in token
+        space)."""
+        tok = self._gpt2_tok(tmp_path)
+        m = self._flamingo(tok)
+        p = "<image>Output: cat<|endofchunk|>"
+        marker = p.rfind(":")
+        joined = m._encode(p[: marker + 1]) + m._encode(p[marker + 1:])
+        assert joined == m._encode(p)
+
+    def test_mask_excludes_specials_and_covers_answer(self, tmp_path):
+        tok = self._gpt2_tok(tmp_path)
+        m = self._flamingo(tok)
+        m.set_inputs(["<image>Output: bird<|endofchunk|>"])
+        lang = np.asarray(m._lang[0])
+        mask = np.asarray(m._mask[0])
+        # media + eoc tokens carry no loss
+        assert mask[lang == m.cfg.media_token_id].sum() == 0
+        assert mask[lang == tok.eos_token_id].sum() == 0
+        # the answer tokens do: ' bird' is exactly one merged token
+        ans = tok.encode(" bird", add_special_tokens=False)
+        assert len(ans) == 1
+        assert mask.sum() == len(ans)
