@@ -5,8 +5,12 @@ Equivalent of reference CLIP_benchmark/clip_benchmark/datasets/builder.py:
 The reference streams HF-hub tar shards via the `webdataset` package; here
 the shard reader is implemented natively on `tarfile` (no external dep):
 sequential tar streaming groups same-basename entries into samples
-({'jpg','cls','txt','json'}), decoded on host threads — the same
-storage format, a TPU-friendly double-buffered pipeline.
+({'jpg','cls','txt','json','npy'}), decoded on host threads — the same
+storage format, a TPU-friendly double-buffered pipeline. Remote shards
+(https:// incl. huggingface.co tree URLs, hf://user/repo shorthand,
+file://) are streamed through urllib without downloading the whole tar
+(reference build_wds_dataset :616-715 reads the same
+nshards.txt/classnames.txt/dataset_type.txt layout).
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ from __future__ import annotations
 import io
 import json
 import tarfile
+import urllib.request
 from pathlib import Path
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -28,6 +33,53 @@ from robustvlm_tpu.data.loaders import (
 )
 
 IMG_KEYS = ("jpg", "jpeg", "png", "webp", "bmp")
+
+
+def _is_url(path: str) -> bool:
+    return "://" in str(path)
+
+
+def _open_shard(path: str):
+    """File-like byte stream for a shard path or URL (streaming; a remote
+    tar is read incrementally through the socket, never fully downloaded)."""
+    if _is_url(path):
+        return urllib.request.urlopen(path)
+    return open(path, "rb")
+
+
+def _read_text(path: str) -> str:
+    if _is_url(path):
+        with urllib.request.urlopen(path) as r:
+            return r.read().decode("utf-8")
+    return Path(path).read_text()
+
+
+def resolve_wds_dirs(data_dir: str) -> Tuple[str, str]:
+    """(metadata_dir, tardata_dir) for a wds root. Mirrors the reference's
+    special-casing of HF-hub tree URLs (builder.py:657-668: metadata via
+    /raw/, LFS tars via /resolve/); `hf://user/repo` expands to the hub
+    main-branch tree."""
+    data_dir = str(data_dir)
+    if data_dir.startswith("hf://"):
+        data_dir = (
+            "https://huggingface.co/datasets/"
+            + data_dir[len("hf://"):].rstrip("/")
+            + "/tree/main"
+        )
+    if data_dir.startswith("https://huggingface.co/datasets"):
+        *head, _tree, branch_path = data_dir.split("/", 7)
+        url_head = "/".join(head)
+        return (
+            "/".join([url_head, "raw", branch_path]),
+            "/".join([url_head, "resolve", branch_path]),
+        )
+    return data_dir, data_dir
+
+
+def _join(base: str, *parts: str) -> str:
+    if _is_url(base):
+        return "/".join([base.rstrip("/"), *parts])
+    return str(Path(base, *parts))
 
 
 def _decode_image(data: bytes, transform) -> np.ndarray:
@@ -59,7 +111,9 @@ class WdsShardDataset:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, object]]:
         for shard in self.shards:
-            with tarfile.open(shard, "r|*") as tf:
+            with _open_shard(shard) as stream, tarfile.open(
+                fileobj=stream, mode="r|*"
+            ) as tf:
                 current_key: Optional[str] = None
                 parts: Dict[str, bytes] = {}
                 for member in tf:
@@ -86,16 +140,26 @@ class WdsShardDataset:
         if img_data is None:
             return None
         x = _decode_image(img_data, self.transform)
+        if self.mode == "multilabel":
+            # reference: label_type='npy' for multilabel (builder.py:696)
+            if "npy" not in parts:
+                return None
+            return x, np.load(io.BytesIO(parts["npy"]), allow_pickle=False)
         if self.mode == "classification":
             if "cls" not in parts:
                 return None
             return x, int(parts["cls"].decode().strip())
+        # retrieval/captions: txt holds newline-separated captions
+        # (reference to_tuple(..., 'txt') + str.splitlines, builder.py:690)
         caption = None
         if "txt" in parts:
-            caption = parts["txt"].decode()
+            caption = [
+                l for l in parts["txt"].decode().splitlines() if l.strip()
+            ]
         elif "json" in parts:
             j = json.loads(parts["json"])
-            caption = j.get("caption") or j.get("text")
+            c = j.get("caption") or j.get("text")
+            caption = [c] if isinstance(c, str) else c
         return x, caption
 
 
@@ -119,6 +183,73 @@ class WdsBatchedLoader:
             yield np.stack(xs), np.asarray(ys, np.int64)
 
 
+class WdsDataset:
+    """A webdataset in the reference's exported layout: per-split numbered
+    shards + nshards.txt, optional classnames.txt /
+    zeroshot_classification_templates.txt / dataset_type.txt metadata
+    (reference build_wds_dataset, builder.py:616-715). Works on local dirs,
+    file:// roots, https:// roots, and HF-hub tree URLs / hf:// shorthand —
+    shards stream, metadata is read eagerly."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        *,
+        split: str = "test",
+        size: int = 224,
+        transform: Optional[Callable] = None,
+    ):
+        meta_dir, tar_dir = resolve_wds_dirs(data_dir)
+        nshards = int(_read_text(_join(meta_dir, split, "nshards.txt")).strip())
+        try:
+            self.dataset_type = _read_text(
+                _join(meta_dir, "dataset_type.txt")
+            ).strip().lower()
+        except (FileNotFoundError, OSError):
+            self.dataset_type = "classification"
+        self.classes: Optional[List[str]] = None
+        self.templates: Optional[List[str]] = None
+        if self.dataset_type != "retrieval":
+            for attr, fname in (
+                ("classes", "classnames.txt"),
+                ("templates", "zeroshot_classification_templates.txt"),
+            ):
+                try:
+                    setattr(self, attr, [
+                        l.strip()
+                        for l in _read_text(_join(meta_dir, fname)).splitlines()
+                        if l.strip()
+                    ])
+                except (FileNotFoundError, OSError):
+                    pass
+        shards = [_join(tar_dir, split, f"{i}.tar") for i in range(nshards)]
+        mode = {
+            "retrieval": "captions",
+            "multilabel": "multilabel",
+        }.get(self.dataset_type, "classification")
+        self.samples = WdsShardDataset(
+            shards, size=size, transform=transform, mode=mode
+        )
+
+    def __iter__(self):
+        return iter(self.samples)
+
+    def batched(self, batch_size: int):
+        if self.dataset_type == "retrieval":
+            def gen():
+                xs, caps = [], []
+                for x, c in self.samples:
+                    xs.append(x)
+                    caps.append(c)
+                    if len(xs) == batch_size:
+                        yield np.stack(xs), caps
+                        xs, caps = [], []
+                if xs:
+                    yield np.stack(xs), caps
+            return gen()
+        return WdsBatchedLoader(self.samples, batch_size)
+
+
 def build_dataset(
     name: str,
     root: str,
@@ -131,8 +262,9 @@ def build_dataset(
     """Dispatch by dataset name -> batched (x, y) iterator.
 
     Supported: 'cifar10' (local python batches), 'imagenet'/'imagefolder'
-    (class-per-dir tree), 'wds/<anything>' (local tar shards under root),
-    'synthetic' (tests/benches).
+    (class-per-dir tree), 'wds/<anything>' (webdataset: a reference-layout
+    root — local, file://, https://, HF-hub tree URL or hf://user/repo —
+    else a flat local dir of .tar shards), 'synthetic' (tests/benches).
     """
     if name == "cifar10":
         x, y = load_cifar10(root, train=(split == "train"), n_examples=n_samples)
@@ -145,6 +277,12 @@ def build_dataset(
         ds = ImageFolderDataset(f"{root}/{sub}", size=size)
         return DataLoader(ds, batch_size, shuffle=False, drop_last=False)
     if name.startswith("wds/"):
+        # reference-layout root (has <split>/nshards.txt) streams via
+        # WdsDataset; a flat local dir of .tar shards keeps working
+        if _is_url(root):
+            return WdsDataset(root, split=split, size=size).batched(batch_size)
+        if Path(root, split, "nshards.txt").exists():
+            return WdsDataset(root, split=split, size=size).batched(batch_size)
         shards = sorted(Path(root).glob("*.tar"))
         if not shards:
             raise FileNotFoundError(f"no .tar shards under {root}")

@@ -52,7 +52,13 @@ def build_parser():
     p.add_argument("--split", default="test")
     p.add_argument("--task", default="zeroshot_classification",
                    choices=["zeroshot_classification", "zeroshot_retrieval",
-                            "linear_probe", "image_caption_selection"])
+                            "linear_probe", "image_caption_selection",
+                            "captioning"])
+    p.add_argument("--language", default="en",
+                   help="comma list of prompt/classname languages "
+                        "(reference cli.py:140-151 loops languages)")
+    p.add_argument("--predictions", default="",
+                   help="captioning task: json [{image_id, caption}] to score")
     p.add_argument("--attack", default=None, choices=[None, "none", "aa"])
     p.add_argument("--eps", type=float, default=2.0, help="in /255 units")
     p.add_argument("--n_iter", type=int, default=100)
@@ -66,13 +72,36 @@ def build_parser():
     return p
 
 
-def run_one(args, model_name: str, pretrained: str, dataset: str) -> dict:
+def run_one(args, model_name: str, pretrained: str, dataset: str,
+            language: str = "en") -> dict:
     from robustvlm_tpu.benchmark import builder, templates, zeroshot
     from robustvlm_tpu.eval.classifier import make_zero_shot_classifier
     from robustvlm_tpu.models.clip import (
         CLIP_CONFIGS, init_clip_params, load_clip_checkpoint,
     )
     from robustvlm_tpu.models.clip.tokenizer import get_tokenizer
+
+    if args.task == "captioning":
+        # score-only task: generated captions (json [{image_id, caption}])
+        # vs reference annotations — the reference's captioning metric
+        # (metrics/captioning.py) minus the java scorers
+        from robustvlm_tpu.benchmark.captioning import score_captions
+        from robustvlm_tpu.vlm_eval.datasets import load_caption_annotations
+
+        preds = {
+            p["image_id"]: p["caption"]
+            for p in json.loads(Path(args.predictions).read_text())
+        }
+        refs_by_id = load_caption_annotations(args.retrieval_annotations)
+        ids = [i for i in preds if i in refs_by_id]
+        metrics = score_captions(
+            [preds[i] for i in ids], [refs_by_id[i] for i in ids]
+        )
+        return {
+            "model": model_name, "pretrained": pretrained,
+            "dataset": dataset, "task": args.task, "language": language,
+            "metrics": metrics,
+        }
 
     cfg = CLIP_CONFIGS[model_name]
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
@@ -92,10 +121,28 @@ def run_one(args, model_name: str, pretrained: str, dataset: str) -> dict:
 
     t0 = time.time()
     if args.task == "zeroshot_classification":
-        data = classification_data()
-        classnames = templates.get_classnames(dataset if dataset != "synthetic" else "cifar10")
+        # wds datasets may carry their own classnames/templates metadata
+        # (reference builder.py:700-715); they win over the shipped tables
+        wds_classes = wds_templates = None
+        if dataset.startswith("wds/"):
+            from robustvlm_tpu.benchmark.builder import WdsDataset, _is_url
+
+            if _is_url(args.dataset_root) or Path(
+                args.dataset_root, args.split, "nshards.txt"
+            ).exists():
+                wds = WdsDataset(args.dataset_root, split=args.split, size=size)
+                wds_classes, wds_templates = wds.classes, wds.templates
+                data = wds.batched(args.batch_size)
+            else:
+                data = classification_data()
+        else:
+            data = classification_data()
+        classnames = wds_classes or templates.get_classnames(
+            dataset if dataset != "synthetic" else "cifar10",
+            language=language,
+        )
         tpls = (
-            templates.get_templates(dataset)
+            (wds_templates or templates.get_templates(dataset, language=language))
             if args.template == "ensemble"
             else [templates.STD_TEMPLATE + ""]
         )
@@ -178,6 +225,7 @@ def run_one(args, model_name: str, pretrained: str, dataset: str) -> dict:
         "pretrained": pretrained,
         "dataset": dataset,
         "task": args.task,
+        "language": language,
         "metrics": metrics,
         "eps": args.eps,
         "attack": args.attack,
@@ -190,12 +238,20 @@ def main(argv=None):
     models = _expand(args.model)
     pretrained = _expand(args.pretrained) if args.pretrained else [""] * len(models)
     datasets = _expand(args.dataset)
+    languages = _expand(args.language) or ["en"]
     results = []
-    for (m, pt), ds in itertools.product(zip(models, pretrained), datasets):
-        res = run_one(args, m, pt, ds)
+    for (m, pt), ds, lang in itertools.product(
+        zip(models, pretrained), datasets, languages
+    ):
+        res = run_one(args, m, pt, ds, language=lang)
         results.append(res)
-        out = Path(args.output.format(model=m, dataset=ds.replace("/", "_"),
-                                      task=args.task))
+        stem = args.output.format(
+            model=m, dataset=ds.replace("/", "_"), task=args.task,
+            language=lang,
+        )
+        if len(languages) > 1 and "{language}" not in args.output:
+            stem = f"{lang}_{stem}"
+        out = Path(stem)
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(res, indent=2))
         print(json.dumps(res))

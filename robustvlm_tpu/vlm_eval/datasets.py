@@ -28,6 +28,32 @@ def _load_image(path: str, transform) -> np.ndarray:
         return transform(img)
 
 
+def _parse_caption_annotations(annotations_path: str):
+    """(captions_by_id, filename_by_id) from a COCO-style or karpathy-style
+    annotations json."""
+    with open(annotations_path) as f:
+        data = json.load(f)
+    caps: Dict[int, List[str]] = {}
+    files: Dict[int, str] = {}
+    if isinstance(data, dict) and "annotations" in data:
+        for im in data.get("images", []):
+            iid = im.get("id", im.get("cocoid"))
+            files[iid] = im.get("file_name", im.get("filename"))
+        for a in data["annotations"]:
+            caps.setdefault(a["image_id"], []).append(a["caption"])
+    else:  # karpathy flat format
+        for im in data["images"] if isinstance(data, dict) else data:
+            iid = im.get("cocoid", im.get("imgid"))
+            files[iid] = im.get("filename")
+            caps[iid] = [s["raw"] for s in im.get("sentences", [])]
+    return caps, files
+
+
+def load_caption_annotations(annotations_path: str) -> Dict[int, List[str]]:
+    """image_id -> reference captions (metrics-side view of the same json)."""
+    return _parse_caption_annotations(annotations_path)[0]
+
+
 class CaptionDataset:
     """COCO/Flickr captioning split from a karpathy-style annotations json:
     {'images': [{'id'|'cocoid', 'file_name'|'filename', ...}],
@@ -44,21 +70,7 @@ class CaptionDataset:
     ):
         self.image_root = Path(image_root)
         self.transform = default_image_transform(size)
-        with open(annotations_path) as f:
-            data = json.load(f)
-        caps: Dict[int, List[str]] = {}
-        files: Dict[int, str] = {}
-        if isinstance(data, dict) and "annotations" in data:
-            for im in data.get("images", []):
-                iid = im.get("id", im.get("cocoid"))
-                files[iid] = im.get("file_name", im.get("filename"))
-            for a in data["annotations"]:
-                caps.setdefault(a["image_id"], []).append(a["caption"])
-        else:  # karpathy flat format
-            for im in data["images"] if isinstance(data, dict) else data:
-                iid = im.get("cocoid", im.get("imgid"))
-                files[iid] = im.get("filename")
-                caps[iid] = [s["raw"] for s in im.get("sentences", [])]
+        caps, files = _parse_caption_annotations(annotations_path)
         self.ids = [i for i in files if i in caps][:n_samples]
         self.files = files
         self.captions = caps

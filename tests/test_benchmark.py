@@ -164,3 +164,150 @@ class TestRunClassification:
         )
         assert m["acc1"] == 1.0
         assert m["adv_acc1"] < m["acc1"]
+
+
+class TestWdsStreaming:
+    """Reference-layout webdataset roots (nshards.txt + numbered shards +
+    metadata txt), streamed through urllib — file:// exercises the same
+    remote code path as https:// / HF-hub URLs (builder.py:616-715)."""
+
+    def _make_root(self, tmp_path, dataset_type="classification"):
+        import io as _io
+        import tarfile
+
+        from PIL import Image
+
+        root = tmp_path / "wdsroot"
+        (root / "test").mkdir(parents=True)
+        n_shards = 2
+        idx = 0
+        for s in range(n_shards):
+            with tarfile.open(root / "test" / f"{s}.tar", "w") as tf:
+                for _ in range(3):
+                    img = Image.fromarray(
+                        (np.random.RandomState(idx).rand(32, 32, 3) * 255)
+                        .astype(np.uint8)
+                    )
+                    buf = _io.BytesIO()
+                    img.save(buf, format="JPEG")
+
+                    def add(name, data):
+                        info = tarfile.TarInfo(name)
+                        info.size = len(data)
+                        tf.addfile(info, _io.BytesIO(data))
+
+                    add(f"{idx:06d}.jpg", buf.getvalue())
+                    if dataset_type == "retrieval":
+                        add(f"{idx:06d}.txt",
+                            f"caption a {idx}\ncaption b {idx}".encode())
+                    else:
+                        add(f"{idx:06d}.cls", str(idx % 3).encode())
+                    idx += 1
+        (root / "test" / "nshards.txt").write_text(str(n_shards))
+        if dataset_type != "classification":
+            (root / "dataset_type.txt").write_text(dataset_type)
+        if dataset_type == "classification":
+            (root / "classnames.txt").write_text("aaa\nbbb\nccc\n")
+            (root / "zeroshot_classification_templates.txt").write_text(
+                "a photo of a {c}.\n"
+            )
+        return root
+
+    def test_classification_local_and_file_url(self, tmp_path):
+        from robustvlm_tpu.benchmark.builder import WdsDataset
+
+        root = self._make_root(tmp_path)
+        for spec in (str(root), root.as_uri()):  # plain dir + file:// URL
+            ds = WdsDataset(spec, split="test", size=32)
+            assert ds.classes == ["aaa", "bbb", "ccc"]
+            assert ds.templates == ["a photo of a {c}."]
+            batches = list(ds.batched(4))
+            xs = np.concatenate([b[0] for b in batches])
+            ys = np.concatenate([b[1] for b in batches])
+            assert xs.shape == (6, 3, 32, 32)
+            assert list(ys) == [0, 1, 2, 0, 1, 2]
+
+    def test_retrieval_type(self, tmp_path):
+        from robustvlm_tpu.benchmark.builder import WdsDataset
+
+        root = self._make_root(tmp_path, dataset_type="retrieval")
+        ds = WdsDataset(root.as_uri(), split="test", size=32)
+        assert ds.dataset_type == "retrieval"
+        x, caps = next(iter(ds))
+        assert x.shape == (3, 32, 32)
+        assert caps == ["caption a 0", "caption b 0"]
+
+    def test_hf_url_split(self):
+        from robustvlm_tpu.benchmark.builder import resolve_wds_dirs
+
+        meta, tar = resolve_wds_dirs(
+            "https://huggingface.co/datasets/user/repo/tree/main"
+        )
+        assert meta == "https://huggingface.co/datasets/user/repo/raw/main"
+        assert tar == "https://huggingface.co/datasets/user/repo/resolve/main"
+        meta2, tar2 = resolve_wds_dirs("hf://user/repo")
+        assert (meta2, tar2) == (meta, tar)
+
+    def test_build_dataset_dispatch(self, tmp_path):
+        from robustvlm_tpu.benchmark.builder import build_dataset
+
+        root = self._make_root(tmp_path)
+        data = build_dataset("wds/mytest", root.as_uri(), size=32, batch_size=3)
+        xs, ys = next(iter(data))
+        assert xs.shape == (3, 3, 32, 32)
+
+
+class TestCaptioningMetrics:
+    def test_perfect_match(self):
+        from robustvlm_tpu.benchmark.captioning import score_captions
+
+        cands = ["the cat sat on the mat", "a dog runs in the park"]
+        refs = [[c] for c in cands]
+        m = score_captions(cands, refs)
+        for k in ("Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "ROUGE_L"):
+            assert m[k] == pytest.approx(1.0), k
+
+    def test_bleu_hand_values(self):
+        from robustvlm_tpu.benchmark.captioning import bleu_scores
+
+        # cand 'the cat the cat' vs ref 'the cat sat':
+        # 1-gram clipped 2/4; 2-gram clipped 1/3; BP=1 (cand longer)
+        b = bleu_scores(["the cat the cat"], [["the cat sat"]])
+        assert b[0] == pytest.approx(0.5)
+        assert b[1] == pytest.approx((0.5 * (1 / 3)) ** 0.5)
+
+    def test_rouge_hand_value(self):
+        from robustvlm_tpu.benchmark.captioning import rouge_l_score
+
+        # LCS=2, prec=2/4, rec=2/3, F_{beta=1.2}
+        p, r, b2 = 0.5, 2 / 3, 1.2 ** 2
+        expect = (1 + b2) * p * r / (r + b2 * p)
+        assert rouge_l_score("the cat the cat", ["the cat sat"]) == pytest.approx(expect)
+
+    def test_evaluate_with_generate_fn(self):
+        from robustvlm_tpu.benchmark.captioning import evaluate_captioning
+
+        data = [(np.zeros((2, 3, 4, 4)), [["a cat sits here"], ["a dog runs fast"]])]
+        gen = lambda imgs: ["a cat sits here", "something else"]
+        m = evaluate_captioning(gen, data)
+        assert m["Bleu_1"] < 1.0 and m["CIDEr"] > 0.0
+
+
+class TestLanguageWiring:
+    def test_templates_and_classnames_cn(self):
+        from robustvlm_tpu.benchmark import templates
+
+        cn_t = templates.get_templates("imagenet1k", language="cn")
+        en_t = templates.get_templates("imagenet1k", language="en")
+        assert cn_t and cn_t != en_t
+        cn_c = templates.get_classnames("imagenet1k", language="cn")
+        assert len(cn_c) == 1000
+
+    def test_cli_language_flag(self, tmp_path):
+        """--language loops through the product (reference cli.py:140-151)."""
+        from robustvlm_tpu.benchmark.cli import build_parser
+
+        args = build_parser().parse_args(
+            ["eval", "--language", "en,cn", "--dataset", "imagenet1k"]
+        )
+        assert args.language == "en,cn"
