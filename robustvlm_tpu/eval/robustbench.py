@@ -65,6 +65,11 @@ def build_parser():
     p.add_argument("--n_iter", type=int, default=100)
     p.add_argument("--attacks", default="apgd-ce,apgd-t",
                    help="comma list; 'square' for blackbox-only")
+    p.add_argument("--full_benchmark", action="store_true",
+                   help="run the full AutoAttack 'standard' cascade "
+                        "(apgd-ce, apgd-t, fab-t, square) like the "
+                        "reference's robustbench.benchmark() path "
+                        "(clip_robustbench.py:264-296)")
     p.add_argument("--alpha", type=float, default=None,
                    help="APGD initial step-size multiplier override")
     p.add_argument("--compute_dtype", default="float32",
@@ -141,11 +146,20 @@ def main(argv=None):
     clean_acc = accuracy(logits_fn, x, y, batch_size=args.batch_size)
     print(f"clean accuracy: {100 * clean_acc:.2f}%")
 
-    aa = AutoAttackTPU(
-        logits_fn, norm=args.norm, eps=eps, n_iter=args.n_iter,
-        attacks_to_run=[a for a in args.attacks.split(",") if a],
-        alpha=args.alpha, verbose=True, host_loop=args.host_loop,
-    )
+    if args.full_benchmark:
+        # reference --full_benchmark == robustbench.benchmark(): the
+        # standard AutoAttack version over the clean split
+        aa = AutoAttackTPU(
+            logits_fn, norm=args.norm, eps=eps, n_iter=args.n_iter,
+            version="standard", alpha=args.alpha, verbose=True,
+            host_loop=args.host_loop,
+        )
+    else:
+        aa = AutoAttackTPU(
+            logits_fn, norm=args.norm, eps=eps, n_iter=args.n_iter,
+            attacks_to_run=[a for a in args.attacks.split(",") if a],
+            alpha=args.alpha, verbose=True, host_loop=args.host_loop,
+        )
     x_adv = aa.run_standard_evaluation(
         x, y, bs=args.batch_size,
         state_path=(args.state_path or None),
@@ -167,6 +181,14 @@ def main(argv=None):
         "cascade": racc,
         "wall_s": round(time.time() - t0, 1),
     }
+    # wandb-style summary keys written back like the reference
+    # (clip_robustbench.py:283-287: rb/acc-<ds>, rb/racc-<ds>-<norm>-<eps>)
+    ds_short = {"imagenet": "img", "cifar10": "c10", "synthetic": "synth"}[
+        args.dataset
+    ]
+    eps_descr = str(int(args.eps)) if args.norm == "linf" else str(eps)
+    result[f"rb/acc-{ds_short}"] = 100 * clean_acc
+    result[f"rb/racc-{ds_short}-{args.norm}-{eps_descr}"] = 100 * robust_acc
     logger.summary(result)
     (out / "result.json").write_text(json.dumps(result, indent=2))
     if args.save_adv:

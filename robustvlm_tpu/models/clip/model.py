@@ -121,23 +121,30 @@ def _attention(
     qkv = x @ p["qkv_w"].astype(cd) + p["qkv_b"].astype(cd)  # (B, N, 3W)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def heads_split(t):
-        return t.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)  # (B,H,N,hd)
-
-    q, k, v = heads_split(q), heads_split(k), heads_split(v)
     if flash:
         # fused Pallas kernel (ops/pallas/flash_attention.py); attn_mask only
         # ever encodes causality in CLIP, which the kernel handles natively
         from robustvlm_tpu.ops.pallas.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v, causal=attn_mask is not None)
+        def heads_split(t):
+            return t.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+
+        out = flash_attention(
+            heads_split(q), heads_split(k), heads_split(v),
+            causal=attn_mask is not None,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, w)
     else:
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+        # head axis stays in (B, N, H, hd) layout — no physical transposes;
+        # the einsums batch over (b, h) and XLA picks the layouts
+        q = q.reshape(b, n, heads, hd)
+        k = k.reshape(b, n, heads, hd)
+        v = v.reshape(b, n, heads, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
         if attn_mask is not None:
             scores = scores + attn_mask
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    out = out.transpose(0, 2, 1, 3).reshape(b, n, w)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, w)
     return out @ p["out_w"].astype(cd) + p["out_b"].astype(cd)
 
 
@@ -187,11 +194,34 @@ def _transformer(
     def body(h, bp):
         return _block(h, bp, heads, act, attn_mask, flash=flash), None
 
-    if remat:
-        body = jax.checkpoint(body)
+    body = _maybe_remat(body, remat)
     run_blocks = jax.tree.map(lambda a: a[:n_run], blocks) if n_skip_last else blocks
     x, _ = jax.lax.scan(body, x, run_blocks)
     return x
+
+
+def _maybe_remat(body, remat):
+    """Per-block rematerialization modes:
+
+    - False: save everything (fastest bwd, most HBM — OOMs grad-wrt-pixels
+      at ViT-L batch 64 on a 16 GB chip);
+    - True / 'full': save nothing inside the block — bwd pays one full
+      extra forward;
+    - 'dots': save the param-matmul outputs (qkv/out/fc/proj projections)
+      and recompute only the elementwise ops and the attention einsums
+      (~5% of fwd FLOPs) — the throughput/memory sweet spot for the
+      attack hot loop (bench.py).
+    """
+    if remat in (False, None, "none"):
+        return body
+    if remat in (True, "full"):
+        return jax.checkpoint(body)
+    if remat == "dots":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    raise ValueError(f"unknown remat mode: {remat!r}")
 
 
 # ----------------------------------------------------------------- vision

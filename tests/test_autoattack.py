@@ -214,3 +214,41 @@ class TestDynamicCheck:
             return g(x)
 
         assert checks.check_dynamic(dyn, jnp.ones((2, 3, 4, 4)), verbose=False)
+
+
+class TestModelZoo:
+    def test_zoo_runner_with_tiny_ckpt(self, tmp_path, monkeypatch):
+        """Zoo path end-to-end on a tiny random checkpoint + synthetic data
+        (the reference --full_benchmark robustbench path,
+        clip_robustbench.py:264-296)."""
+        import torch
+
+        from robustvlm_tpu.eval import model_zoo
+        from robustvlm_tpu.models.clip import CLIP_CONFIGS, init_clip_params
+        from robustvlm_tpu.models.clip.import_torch import (
+            export_visual_state_dict,
+        )
+
+        cfg = CLIP_CONFIGS["test-tiny"]
+        params = init_clip_params(jax.random.PRNGKey(0), cfg)
+        sd = {
+            k: torch.from_numpy(np.asarray(v).copy())
+            for k, v in export_visual_state_dict(params["visual"], cfg).items()
+        }
+        (tmp_path / "zoo").mkdir()
+        torch.save(sd, tmp_path / "zoo" / "tiny-test.pt")
+        monkeypatch.setattr(
+            model_zoo, "ZOO",
+            [model_zoo.ZooEntry("tiny-test", "test-tiny", "openai",
+                                (50.0, 40.0, 30.0, 20.0))],
+        )
+        res = model_zoo.main([
+            "--ckpt_dir", str(tmp_path / "zoo"),
+            "--dataset", "synthetic", "--n_ex", "8",
+            "--batch_size", "8", "--n_iter", "2", "--eps", "2",
+            "--output_dir", str(tmp_path / "out"),
+        ])
+        assert "tiny-test" in res
+        assert 0.0 <= res["tiny-test"]["robust_acc"] <= res["tiny-test"]["clean_acc"] + 1e-9
+        table = (tmp_path / "out" / "zoo_table.txt").read_text()
+        assert "tiny-test" in table and "50.0" in table

@@ -654,3 +654,102 @@ class TestWholeSegmentTokenization:
         ans = tok.encode(" bird", add_special_tokens=False)
         assert len(ans) == 1
         assert mask.sum() == len(ans)
+
+
+class TestMMBench:
+    def _rows(self, tmp_path):
+        import base64
+        import csv
+        import io as _io
+
+        import numpy as _np
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.fromarray(_np.zeros((16, 16, 3), _np.uint8)).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        rows = [
+            {"index": "1", "question": "What color is the sky?",
+             "hint": "", "answer": "B", "A": "green", "B": "blue",
+             "C": "red", "D": "", "image": b64},
+        ]
+        p = tmp_path / "mmbench.tsv"
+        with open(p, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]), delimiter="\t")
+            w.writeheader()
+            w.writerows(rows)
+        return p
+
+    def test_tsv_prompt_rotation(self, tmp_path):
+        from robustvlm_tpu.vlm_eval.mmbench import (
+            build_prompt, get_options, load_mmbench_tsv, rotate,
+        )
+
+        rows = load_mmbench_tsv(str(self._rows(tmp_path)))
+        opts = get_options(rows[0])
+        assert opts == ["green", "blue", "red"]  # empty D dropped
+        assert rotate(opts, 1) == ["blue", "red", "green"]
+        p = build_prompt(rows[0]["question"], opts, rows[0]["hint"])
+        assert "A. green" in p and "B. blue" in p
+        assert "option's letter" in p
+
+    def test_parse_choice(self):
+        from robustvlm_tpu.vlm_eval.mmbench import parse_choice
+
+        assert parse_choice("B", 3) == "B"
+        assert parse_choice("The answer is (C).", 3) == "C"
+        assert parse_choice("D", 3) == "FAILED"  # out of range
+        assert parse_choice("no idea", 3) == "FAILED"
+
+    def test_circular_eval(self, tmp_path):
+        """A model that always answers the rotated position of the true
+        option scores 100% circular; one that always says 'A' does not."""
+        from robustvlm_tpu.vlm_eval import mmbench
+
+        rows = mmbench.load_mmbench_tsv(str(self._rows(tmp_path)))
+
+        class Oracle:
+            def get_vqa_prompt(self, q, a=None):
+                return f"<image>{q}"
+
+            def get_outputs(self, x, prompts, max_new_tokens=8):
+                # find where 'blue' sits in this round's prompt
+                for line in prompts[0].splitlines():
+                    if line.endswith(". blue"):
+                        return [line.split(".")[0][-1]]
+                return ["A"]
+
+        recs = mmbench.run_mmbench(Oracle(), rows, size=16)
+        assert len(recs) == 3  # 3 options -> 3 rounds
+        m = mmbench.eval_mmbench(recs)
+        assert m["circular_accuracy"] == 100.0 and m["accuracy"] == 100.0
+
+        class AlwaysA(Oracle):
+            def get_outputs(self, x, prompts, max_new_tokens=8):
+                return ["A"]
+
+        m2 = mmbench.eval_mmbench(mmbench.run_mmbench(AlwaysA(), rows, size=16))
+        assert m2["circular_accuracy"] == 0.0
+        assert 0.0 < m2["accuracy"] < 100.0
+
+
+class TestGptReview:
+    def test_review_and_summary(self, tmp_path):
+        from robustvlm_tpu.vlm_eval.gpt_review import (
+            parse_score, review_answers, summarize_reviews,
+        )
+
+        qs = [{"question_id": 1, "text": "describe the red apple",
+               "category": "default"}]
+        a1 = [{"question_id": 1, "text": "the red apple is round"}]
+        a2 = [{"question_id": 1, "text": "banana"}]
+        rows = review_answers(
+            qs, a1, a2, output_path=str(tmp_path / "review.jsonl")
+        )
+        assert rows[0]["tuple"][0] > rows[0]["tuple"][1]  # a1 overlaps more
+        assert (tmp_path / "review.jsonl").exists()
+        summary = summarize_reviews(rows)
+        assert summary["all"]["n"] == 1
+        assert summary["all"]["relative"] < 100.0
+        assert parse_score("7 9\nreason") == [7.0, 9.0]
+        assert parse_score("garbage") == [-1.0, -1.0]
