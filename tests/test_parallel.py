@@ -231,3 +231,37 @@ class TestLMShardingRules:
         g = grad_step(params, x, tokens, mask)
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0.0
+
+
+class TestMultihost:
+    """DDP-equivalent eval sharding/merge (reference eval_model.py:20-22 +
+    all_gather_object merge, run_evaluation.py:1766-1775)."""
+
+    def test_shard_bounds_cover_exactly(self):
+        from robustvlm_tpu.parallel.multihost import (
+            process_shard_bounds, process_shard_indices,
+        )
+
+        for n in (0, 1, 7, 16, 100):
+            for p in (1, 2, 3, 8):
+                all_idx = np.concatenate([
+                    process_shard_indices(n, i, p) for i in range(p)
+                ]) if p else np.arange(0)
+                np.testing.assert_array_equal(all_idx, np.arange(n))
+                sizes = [
+                    process_shard_bounds(n, i, p)[1]
+                    - process_shard_bounds(n, i, p)[0]
+                    for i in range(p)
+                ]
+                assert max(sizes) - min(sizes) <= 1  # balanced
+
+    def test_single_process_gather_identity(self):
+        from robustvlm_tpu.parallel.multihost import (
+            all_gather_results, merge_metric_means,
+        )
+
+        local = {"acc": 0.5, "ids": np.asarray([1, 2])}
+        merged = all_gather_results(local)
+        assert merged == [{"acc": 0.5, "ids": [1, 2]}]
+        m = merge_metric_means([{"acc": 0.25}, {"acc": 0.75}], [1, 3])
+        assert m["acc"] == pytest.approx(0.625)
