@@ -1,20 +1,31 @@
 """Headline benchmark: APGD attack-steps/sec/chip on CLIP ViT-L/14.
 
-Measures the #1 hot path (SURVEY.md §3.2): one APGD inner step — a full
-fwd+bwd through the ViT-L/14 vision tower w.r.t. input pixels (bf16
-activations, fp32 softmax, Pallas flash attention, per-block remat) plus
-the fused elementwise Linf update — in the production eval configuration
-(ℓ∞ ε=2/255, CE loss vs a 1000-class classifier, batch 64 @ 224²).
+Measures the #1 hot path (SURVEY.md §3.2) with the REAL attack engine:
+`robustvlm_tpu.attacks.apgd.apgd_attack` — the full scan-based AutoPGD
+(per-example adaptive step sizes, best tracking, oscillation checkpoints)
+driving fwd+grad-wrt-pixels through the ViT-L/14 vision tower in the
+production eval configuration (ℓ∞ ε=2/255, CE vs a 1000-class zero-shot
+classifier, bf16 activations, fp32 softmax).
 
-The step is one jitted function with params as explicit arguments (stable
-persistent-cache keys; no giant constants) driven from a host loop: per-call
-dispatch overhead is <1% of the ~0.2-0.7s step, and compile cost stays at a
-single fwd+bwd graph instead of an n_iter-unrolled scan.
+Tuned configuration and its measurement trail (v5e, round 2):
+  - batch 32: bare fused steps 236/s vs 204/s at batch 64 (batch 48: 213,
+    128: 192, 256: 185) — the small batch wins on this chip.
+  - remat='dots' (save param-matmul outputs, recompute elementwise +
+    attention): fits HBM where no-remat OOMs; jaxpr-verified to drop the
+    recomputed matmuls. bwd(dx) is ~2x fwd wall either way.
+  - params pre-cast to bf16: +2% (240.7/s bare).
+  - batch data + params as LOOP OPERANDS, never closure constants: the
+    eager scan with closed-over params ran 180/s; with everything as
+    runtime operands the same attack runs ~237/s AND fresh batches reuse
+    the compiled program (HLO constants changed the cache key per batch).
+  - per-dispatch host-loop overhead through the remote tunnel ~14 ms/call;
+    the in-jit scan path amortizes it.
 
-Unit: per-example attack steps per second per chip. vs_baseline anchors the
-A100 PyTorch reference derived from the published targeted-attack cost
-(≈2 h/image @10k iters on LLaVA-7B, reference README.md:326-328) scaled by
-the LLaVA-7B : bare-ViT-L FLOP ratio -> ≈80 example-steps/s/A100 fp16.
+Unit: per-example attack steps (model evals) per second per chip; the
+attack performs n_iter+1 evals. vs_baseline anchors the A100 PyTorch
+reference derived from the published targeted-attack cost (≈2 h/image
+@10k iters on LLaVA-7B, reference README.md:326-328) scaled by the
+LLaVA-7B : bare-ViT-L FLOP ratio -> ≈80 example-steps/s/A100 fp16.
 
 Prints ONE JSON line.
 """
@@ -37,20 +48,22 @@ import numpy as np
 
 A100_ANCHOR_STEPS_PER_SEC = 80.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", 64))
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
 N_ITER = int(os.environ.get("BENCH_ITERS", 20))
 
 
 def main():
+    from robustvlm_tpu.attacks.apgd import apgd_attack
     from robustvlm_tpu.models.clip import CLIP_CONFIGS, init_clip_params
     from robustvlm_tpu.models.clip.model import encode_image
     from robustvlm_tpu.ops.image import normalize_clip
     from robustvlm_tpu.ops.losses import ce_loss
-    from robustvlm_tpu.ops.pallas.attack_step import fused_linf_apgd_step
 
     cfg = CLIP_CONFIGS["ViT-L-14"]
-    rng = jax.random.PRNGKey(0)
-    params = init_clip_params(rng, cfg)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        init_clip_params(jax.random.PRNGKey(0), cfg),
+    )
     temb = jax.random.normal(jax.random.PRNGKey(1), (cfg.embed_dim, 1000))
     temb = temb / jnp.linalg.norm(temb, axis=0, keepdims=True)
 
@@ -59,40 +72,41 @@ def main():
     y = jnp.asarray(npr.randint(0, 1000, BATCH))
     eps = 2.0 / 255.0
 
-    def loss_fn(x_adv, params, temb, y):
+    # bound-model protocol: params/classifier ride as runtime operands of
+    # the compiled attack loop (attacks/apgd.py), keeping programs small
+    # and cache keys stable across batches/checkpoints
+    def model_fn_pure(p, t, xa):
         e = encode_image(
-            params, normalize_clip(x_adv), cfg, normalize=True,
-            compute_dtype=jnp.bfloat16, remat=True,
+            p, normalize_clip(xa), cfg, normalize=True,
+            compute_dtype=jnp.bfloat16, remat="dots",
         )
-        logits = e @ (100.0 * temb)
-        return jnp.sum(ce_loss(logits, y, reduction="none"))
+        return e @ (100.0 * t)
 
-    grad_fn = jax.grad(loss_fn)
+    def model_fn(xa):
+        return model_fn_pure(params, temb, xa)
 
-    @jax.jit
-    def apgd_step(params, temb, x, x_adv, x_adv_old, step_size, y):
-        g = grad_fn(x_adv, params, temb, y)
-        x_new = fused_linf_apgd_step(
-            x_adv, x_adv_old, g, x, step_size, eps, jnp.float32(0.75)
+    model_fn.pure = model_fn_pure
+    model_fn.bound_args = (params, temb)
+
+    criterion = lambda o, t: ce_loss(o, t, reduction="none")
+
+    def attack():
+        return apgd_attack(
+            model_fn, x, y, criterion=criterion, eps=eps,
+            n_iter=N_ITER, norm="linf",
         )
-        return x_new, x_adv
 
-    step_size = jnp.full((BATCH,), 2.0 * eps, jnp.float32)
-    x_adv = jnp.clip(x + eps * jnp.sign(
-        jax.random.normal(rng, x.shape)), 0.0, 1.0)
-    x_old = x_adv
-
-    # compile + warmup; sync via scalar readback (block_until_ready does not
-    # reliably synchronize through remote-execution PJRT backends)
-    x_adv, x_old = apgd_step(params, temb, x, x_adv, x_old, step_size, y)
-    float(jnp.sum(x_adv))
+    # compile + warmup; sync via scalar readback (block_until_ready does
+    # not reliably synchronize through remote-execution PJRT backends)
+    res = attack()
+    float(jnp.sum(res.x_best))
 
     t0 = time.perf_counter()
-    for _ in range(N_ITER):
-        x_adv, x_old = apgd_step(params, temb, x, x_adv, x_old, step_size, y)
-    float(jnp.sum(x_adv))
+    res = attack()
+    float(jnp.sum(res.x_best))
     dt = time.perf_counter() - t0
-    steps_per_sec = BATCH * N_ITER / dt
+    # the attack evaluates the model (fwd+bwd) n_iter+1 times per example
+    steps_per_sec = BATCH * (N_ITER + 1) / dt
 
     n_chips = jax.local_device_count()
     value = steps_per_sec / n_chips

@@ -103,6 +103,17 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
             "metrics": metrics,
         }
 
+    # --dataset_root may be a template over the dataset name (reference
+    # cli.py:216), e.g. "hf://clip-benchmark/wds_{dataset_cleaned}" for the
+    # 13-dataset suite in benchmark/collections/datasets.txt
+    ds_name = dataset[len("wds/"):] if dataset.startswith("wds/") else dataset
+    args = argparse.Namespace(**{
+        **vars(args),
+        "dataset_root": args.dataset_root.format(
+            dataset=ds_name, dataset_cleaned=ds_name.replace("/", "-")
+        ),
+    })
+
     cfg = CLIP_CONFIGS[model_name]
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
     if pretrained and pretrained != "random":
