@@ -7,12 +7,24 @@ driving fwd+grad-wrt-pixels through the ViT-L/14 vision tower in the
 production eval configuration (ℓ∞ ε=2/255, CE vs a 1000-class zero-shot
 classifier, bf16 activations, fp32 softmax).
 
-Tuned configuration and its measurement trail (v5e, round 2):
-  - batch 32: bare fused steps 236/s vs 204/s at batch 64 (batch 48: 213,
-    128: 192, 256: 185) — the small batch wins on this chip.
+Tuned configuration and its measurement trail (v5e, round 2, see
+scripts/perf_sweep.py):
+  - batch 8 is the per-example throughput peak on this chip: bare fused
+    steps/s by batch = 1:150, 2:226, 4:274, 6:294, 8:302, 12:295, 16:285,
+    32:241, 64:204 — per-example cost rises monotonically with batch
+    (XLA's attention fusions tile better when the (B,H,N,N) softmax
+    intermediates stay small).
   - remat='dots' (save param-matmul outputs, recompute elementwise +
-    attention): fits HBM where no-remat OOMs; jaxpr-verified to drop the
-    recomputed matmuls. bwd(dx) is ~2x fwd wall either way.
+    attention): bwd(dx) is ~2.2x fwd wall. Measured alternatives all lose:
+    no-remat 244/s @b16 (fails to compile at b32), dots_saveable 219 @b32,
+    saving softmax probs across remat ('dots_probs') 212 @b32 — the HBM
+    round-trip for (B,H,N,N) tensors costs more than the recompute.
+  - fp32 vs bf16 softmax: identical wall (241.4 vs 241.6 @b32) — keep fp32.
+  - attention kernels: XLA's einsum attention spreads the batched
+    (257,64)x(64,257) matmuls across the chip's 4 MXUs (~42 TF/s in-model);
+    Pallas batched dots serialize (~5-8 TF/s), so the whole-sequence fused
+    kernel (ops/pallas/vit_attention.py, 228/s @b32) and the flash kernel
+    (101/s) both lose to XLA here and stay off the default path.
   - params pre-cast to bf16: +2% (240.7/s bare).
   - batch data + params as LOOP OPERANDS, never closure constants: the
     eager scan with closed-over params ran 180/s; with everything as
@@ -48,7 +60,7 @@ import numpy as np
 
 A100_ANCHOR_STEPS_PER_SEC = 80.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", 32))
+BATCH = int(os.environ.get("BENCH_BATCH", 8))
 N_ITER = int(os.environ.get("BENCH_ITERS", 20))
 
 

@@ -36,6 +36,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Params = Dict[str, Any]
 
@@ -114,6 +115,7 @@ def _attention(
     heads: int,
     attn_mask: Optional[jax.Array],
     flash: bool = False,
+    softmax_dtype=jnp.float32,
 ) -> jax.Array:
     b, n, w = x.shape
     hd = w // heads
@@ -122,17 +124,23 @@ def _attention(
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     if flash:
-        # fused Pallas kernel (ops/pallas/flash_attention.py); attn_mask only
-        # ever encodes causality in CLIP, which the kernel handles natively
-        from robustvlm_tpu.ops.pallas.flash_attention import flash_attention
-
+        # fused Pallas kernels; attn_mask only ever encodes causality in
+        # CLIP. Non-causal ViT attention uses the whole-sequence fused
+        # kernel (ops/pallas/vit_attention.py — the attack hot path);
+        # causal text attention uses the flash kernel.
         def heads_split(t):
             return t.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
 
-        out = flash_attention(
-            heads_split(q), heads_split(k), heads_split(v),
-            causal=attn_mask is not None,
-        )
+        if attn_mask is None:
+            from robustvlm_tpu.ops.pallas.vit_attention import vit_attention
+
+            out = vit_attention(heads_split(q), heads_split(k), heads_split(v))
+        else:
+            from robustvlm_tpu.ops.pallas.flash_attention import flash_attention
+
+            out = flash_attention(
+                heads_split(q), heads_split(k), heads_split(v), causal=True,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, w)
     else:
         # head axis stays in (B, N, H, hd) layout — no physical transposes;
@@ -143,15 +151,18 @@ def _attention(
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
         if attn_mask is not None:
             scores = scores + attn_mask
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        probs = jax.nn.softmax(scores.astype(softmax_dtype), axis=-1).astype(x.dtype)
+        # named for the 'dots_probs' remat policy: saving probs removes the
+        # scores-einsum + softmax recompute from the backward pass
+        probs = checkpoint_name(probs, "attn_probs")
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, w)
     return out @ p["out_w"].astype(cd) + p["out_b"].astype(cd)
 
 
-def _block(x, bp, heads, act, attn_mask, flash=False):
+def _block(x, bp, heads, act, attn_mask, flash=False, softmax_dtype=jnp.float32):
     x = x + _attention(
         layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"]), bp["attn"], heads,
-        attn_mask, flash=flash,
+        attn_mask, flash=flash, softmax_dtype=softmax_dtype,
     )
     cd = x.dtype
     h = layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"])
@@ -180,6 +191,7 @@ def _transformer(
     remat: bool = False,
     n_skip_last: int = 0,
     flash: Optional[bool] = None,
+    softmax_dtype=jnp.float32,
 ) -> jax.Array:
     """Scan over stacked transformer blocks.
 
@@ -192,7 +204,10 @@ def _transformer(
     n_run = n_layers - n_skip_last
 
     def body(h, bp):
-        return _block(h, bp, heads, act, attn_mask, flash=flash), None
+        return _block(
+            h, bp, heads, act, attn_mask, flash=flash,
+            softmax_dtype=softmax_dtype,
+        ), None
 
     body = _maybe_remat(body, remat)
     run_blocks = jax.tree.map(lambda a: a[:n_run], blocks) if n_skip_last else blocks
@@ -210,7 +225,9 @@ def _maybe_remat(body, remat):
     - 'dots': save the param-matmul outputs (qkv/out/fc/proj projections)
       and recompute only the elementwise ops and the attention einsums
       (~5% of fwd FLOPs) — the throughput/memory sweet spot for the
-      attack hot loop (bench.py).
+      attack hot loop (bench.py);
+    - 'dots_saveable': additionally save the attention einsum outputs
+      (scores / probs@v) — no matmul recompute in bwd, more HBM.
     """
     if remat in (False, None, "none"):
         return body
@@ -220,6 +237,21 @@ def _maybe_remat(body, remat):
         return jax.checkpoint(
             body,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    if remat == "dots_saveable":
+        return jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_saveable
+        )
+    if remat == "dots_probs":
+        # 'dots' + keep the softmax probabilities: the backward pass then
+        # needs no scores-einsum/softmax recompute (probs is everything the
+        # attention backward consumes), at (B, H, N, N) bf16 of extra HBM
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("attn_probs"),
+            ),
         )
     raise ValueError(f"unknown remat mode: {remat!r}")
 
@@ -236,6 +268,7 @@ def vision_forward(
     tokens: bool = False,
     n_skip_last: int = 0,
     flash: Optional[bool] = None,
+    softmax_dtype=jnp.float32,
 ) -> jax.Array:
     """ViT image encoder: NCHW normalized pixels -> (B, embed_dim) embedding.
 
@@ -263,7 +296,7 @@ def vision_forward(
     act = quick_gelu if cfg.quick_gelu else partial(jax.nn.gelu, approximate=False)
     x = _transformer(
         x, vp["blocks"], cfg.vision.heads, act, remat=remat,
-        n_skip_last=n_skip_last, flash=flash,
+        n_skip_last=n_skip_last, flash=flash, softmax_dtype=softmax_dtype,
     )
 
     if tokens:
