@@ -363,6 +363,128 @@ class FlamingoEvalModel:
         ]
 
 
+class Blip2EvalModel:
+    """BLIP-2 adapter (reference open_flamingo/eval/models/blip.py). The
+    reference wrapper is generation-only; this adapter additionally
+    implements the full adversarial protocol (`set_inputs` + per-sample
+    loss), so BLIP-2 is attackable like the other families. One image per
+    example (reference blip.py:52-53)."""
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        *,
+        compute_dtype=jnp.float32,
+        remat: bool = False,
+        max_len: int = 64,
+    ):
+        from robustvlm_tpu.models.blip2.model import blip2_per_sample_loss
+
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.compute_dtype = compute_dtype
+        self.remat = remat
+        self.max_len = max_len
+        self._cached = None
+
+        def loss_fn(p, x01, tokens, labels, mask):
+            return blip2_per_sample_loss(
+                p, x01, tokens, labels, mask, cfg,
+                compute_dtype=compute_dtype, remat=remat,
+            )
+
+        jitted = jax.jit(loss_fn)
+        self._loss = lambda *a: jitted(self.params, *a)
+
+    # ---- prompt builders (reference blip.py:105-112)
+    def get_caption_prompt(self, caption: Optional[str] = None) -> str:
+        return f"A photo of {caption if caption is not None else ''}"
+
+    def get_vqa_prompt(self, question: str, answer: Optional[str] = None) -> str:
+        return (
+            f"Question:{question} Short answer:"
+            f"{answer if answer is not None else ''}"
+        )
+
+    @staticmethod
+    def _answer_split(prompt: str):
+        """(context, answer): answer = text after the last ':' (VQA) or
+        after 'A photo of ' (captioning)."""
+        if ":" in prompt:
+            i = prompt.rfind(":") + 1
+            return prompt[:i], prompt[i:]
+        marker = "A photo of "
+        if prompt.startswith(marker):
+            return marker, prompt[len(marker):]
+        return "", prompt
+
+    def set_inputs(self, full_prompts: Sequence[str]):
+        bos = getattr(self.tok, "bos_token_id", None)
+        toks, masks = [], []
+        for p in full_prompts:
+            ctx, ans = self._answer_split(p)
+            ctx_ids = _encode_plain(self.tok, ctx)
+            if bos is not None:
+                ctx_ids = [bos] + ctx_ids
+            ans_ids = _encode_plain(self.tok, ans) + [self.tok.eos_token_id]
+            toks.append(ctx_ids + ans_ids)
+            masks.append([0.0] * len(ctx_ids) + [1.0] * len(ans_ids))
+        arr, _ = _pad_right(toks, self.tok.pad_token_id, self.max_len)
+        mask_arr = np.zeros(arr.shape, np.float32)
+        for i, m in enumerate(masks):
+            m = m[: self.max_len]
+            mask_arr[i, : len(m)] = m
+        self._cached = (
+            jnp.asarray(arr), jnp.asarray(arr), jnp.asarray(mask_arr)
+        )
+
+    def __call__(self, x01: jax.Array) -> jax.Array:
+        assert self._cached is not None, "call set_inputs first"
+        tokens, labels, mask = self._cached
+        return self._loss(x01, tokens, labels, mask)
+
+    def get_outputs(
+        self,
+        x01: jax.Array,
+        prompts: Sequence[str],
+        *,
+        max_new_tokens: int = 32,
+        num_beams: int = 1,
+        length_penalty: float = 0.0,
+        stop_strings: Sequence[str] = ("Question:", "\n"),
+    ) -> List[str]:
+        from robustvlm_tpu.models.blip2.model import make_blip2_decode_fns
+
+        bos = getattr(self.tok, "bos_token_id", None)
+        seqs = []
+        for p in prompts:
+            ids = _encode_plain(self.tok, p)
+            seqs.append(([bos] if bos is not None else []) + ids)
+        toks, n_pad = left_pad(seqs, self.tok.pad_token_id)
+        pf, df = make_blip2_decode_fns(
+            self.params, self.cfg, x01,
+            max_total_len=toks.shape[1] + max_new_tokens,
+            compute_dtype=self.compute_dtype,
+        )
+        gen = greedy_generate if num_beams == 1 else beam_generate
+        kw = {} if num_beams == 1 else {
+            "num_beams": num_beams, "length_penalty": length_penalty
+        }
+        res = gen(
+            pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+            max_new_tokens=max_new_tokens, eos_id=self.tok.eos_token_id,
+            pad_id=self.tok.pad_token_id, **kw,
+        )
+        return [
+            truncate_at_stops(self.tok.decode(ids), stop_strings)
+            for ids in strip_after_eos(
+                res.tokens, self.tok.eos_token_id, self.tok.pad_token_id
+            )
+        ]
+
 def make_frame_mask(vision_x_shape, mask_out: str = "context"):
     """Gradient mask over few-shot media frames (reference
     vlm_eval/attacks/pgd.py:75-87 _set_mask). vision_x is (B, T_img, F, C,

@@ -29,10 +29,14 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(description="VLM adversarial eval (TPU)")
-    p.add_argument("--model", default="llava", choices=["llava", "open_flamingo"])
+    p.add_argument(
+        "--model", default="llava",
+        choices=["llava", "open_flamingo", "blip2"],
+    )
     p.add_argument("--model_size", default="7b", help="'7b' | 'test-tiny'")
     p.add_argument("--llava_ckpt", default="")
     p.add_argument("--of_ckpt", default="")
+    p.add_argument("--blip2_ckpt", default="")
     p.add_argument("--mpt_ckpt", default="")
     p.add_argument("--clip_ckpt", default="")
     p.add_argument("--vision_encoder_pretrained", default="",
@@ -116,6 +120,20 @@ def build_eval_model(args, precision: str):
         else:
             params = init_llava_params(jax.random.PRNGKey(0), cfg)
         return LlavaEvalModel(params, cfg, tok, compute_dtype=compute_dtype)
+
+    if args.model == "blip2":
+        from robustvlm_tpu.models.blip2 import BLIP2_CONFIGS, init_blip2_params
+        from robustvlm_tpu.models.blip2.import_torch import load_blip2_checkpoint
+        from robustvlm_tpu.vlm_eval.eval_models import Blip2EvalModel
+
+        name = "blip2-opt-2.7b" if args.model_size == "7b" else "test-tiny"
+        cfg = BLIP2_CONFIGS[name]
+        ckpt = getattr(args, "blip2_ckpt", "")
+        if ckpt:
+            params = load_blip2_checkpoint(ckpt, cfg)
+        else:
+            params = init_blip2_params(jax.random.PRNGKey(0), cfg)
+        return Blip2EvalModel(params, cfg, tok, compute_dtype=compute_dtype)
 
     from robustvlm_tpu.models.flamingo import (
         FLAMINGO_CONFIGS, init_flamingo_params, load_flamingo_checkpoint,

@@ -43,6 +43,9 @@ CONFIGS = {
     "b6_dots": (6, dict(remat="dots")),
     "b8_dots": (8, dict(remat="dots")),
     "b8_noremat": (8, dict(remat=False)),
+    "b8_full": (8, dict(remat="full")),
+    "b8_sdpa": (8, dict(remat="dots", _ablate="sdpa")),
+    "b16_sdpa": (16, dict(remat="dots", _ablate="sdpa")),
     "b12_dots": (12, dict(remat="dots")),
     "b16_dots": (16, dict(remat="dots")),
     "b16_noremat": (16, dict(remat=False)),
@@ -97,6 +100,20 @@ def run_one(name, batch, mkw):
             _, _, v = jnp.split(qkv, 3, axis=-1)
             return v @ p["out_w"].astype(cd) + p["out_b"].astype(cd)
         M._attention = _attention_noattn
+    elif ablate == "sdpa":
+        def _attention_sdpa(x, p, heads, attn_mask, flash=False,
+                            softmax_dtype=jnp.float32):
+            b, n, w = x.shape
+            hd = w // heads
+            cd = x.dtype
+            qkv = x @ p["qkv_w"].astype(cd) + p["qkv_b"].astype(cd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            out = jax.nn.dot_product_attention(
+                q.reshape(b, n, heads, hd), k.reshape(b, n, heads, hd),
+                v.reshape(b, n, heads, hd),
+            ).reshape(b, n, w)
+            return out @ p["out_w"].astype(cd) + p["out_b"].astype(cd)
+        M._attention = _attention_sdpa
     cfg = CLIP_CONFIGS["ViT-L-14"]
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16),
