@@ -289,6 +289,20 @@ def build_dataset(
         return WdsBatchedLoader(
             WdsShardDataset(shards, size=size), batch_size
         )
+    if name.startswith("tfds/"):
+        from robustvlm_tpu.benchmark.tfds_adapter import build_tfds_dataset
+
+        return build_tfds_dataset(
+            name[len("tfds/"):], root or None, split=split, size=size,
+            n_samples=n_samples,
+        ).batched(batch_size)
+    if name.startswith("vtab/"):
+        from robustvlm_tpu.benchmark.tfds_adapter import build_vtab_dataset
+
+        return build_vtab_dataset(
+            name[len("vtab/"):], root or None, split=split, size=size,
+            n_samples=n_samples,
+        ).batched(batch_size)
     if name == "synthetic":
         ds = SyntheticClassificationDataset(
             n=n_samples or 256, size=size

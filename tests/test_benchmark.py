@@ -311,3 +311,118 @@ class TestLanguageWiring:
             ["eval", "--language", "en,cn", "--dataset", "imagenet1k"]
         )
         assert args.language == "en,cn"
+
+
+class TestTfdsVtabAdapter:
+    """tfds/ and vtab/ branches via a fake tensorflow_datasets module (the
+    real dep is optional and not bundled)."""
+
+    @staticmethod
+    def _install_fake_tfds(monkeypatch, examples, label_names=("a", "b")):
+        import sys
+        import types
+
+        class _Feature:
+            names = list(label_names)
+
+        class _Info:
+            features = {"label": _Feature()}
+
+        class _Builder:
+            info = _Info()
+
+            def __init__(self, examples):
+                self._examples = examples
+
+            def download_and_prepare(self):
+                pass
+
+            def as_dataset(self, split):
+                assert split in ("test", "train")
+                return list(self._examples)
+
+        fake = types.ModuleType("tensorflow_datasets")
+        fake.builder = lambda name, data_dir=None: _Builder(examples)
+        fake.as_numpy = lambda ds: ds
+        monkeypatch.setitem(sys.modules, "tensorflow_datasets", fake)
+
+    def test_missing_tfds_raises_informatively(self, monkeypatch):
+        import sys
+
+        from robustvlm_tpu.benchmark import tfds_adapter
+
+        monkeypatch.setitem(sys.modules, "tensorflow_datasets", None)
+        with pytest.raises(ImportError, match="wds/"):
+            tfds_adapter.build_tfds_dataset("cifar10", None)
+
+    def test_tfds_iteration_and_classnames(self, monkeypatch):
+        rng = np.random.RandomState(0)
+        examples = [
+            {"image": rng.randint(0, 255, (40, 40, 3), np.uint8), "label": i % 2}
+            for i in range(5)
+        ]
+        self._install_fake_tfds(monkeypatch, examples)
+        from robustvlm_tpu.benchmark.builder import build_dataset
+
+        batches = list(
+            build_dataset("tfds/cifar10", "", split="test", size=32, batch_size=2)
+        )
+        assert sum(b[0].shape[0] for b in batches) == 5
+        x, y = batches[0]
+        assert x.shape == (2, 3, 32, 32) and x.dtype == np.float32
+        assert 0.0 <= x.min() and x.max() <= 1.0
+        assert list(y) == [0, 1]
+
+    def test_vtab_kitti_label_math(self):
+        from robustvlm_tpu.benchmark.tfds_adapter import (
+            kitti_closest_vehicle_distance_label,
+        )
+
+        # closest vehicle at 5m -> class 0 (thresholds -100, 8, 20, 999;
+        # label = max index with threshold < distance)
+        ex = {"objects": {"type": np.array([0, 5]),
+                          "location": np.array([[0, 0, 5.0], [0, 0, 1.0]])}}
+        assert kitti_closest_vehicle_distance_label(ex) == 0
+        # closest vehicle at 15m -> class 1
+        ex["objects"]["location"][0, 2] = 15.0
+        assert kitti_closest_vehicle_distance_label(ex) == 1
+        # no vehicles (types >= 3) -> 'no vehicle' class 3 (dist 1000)
+        ex = {"objects": {"type": np.array([5]),
+                          "location": np.array([[0, 0, 2.0]])}}
+        assert kitti_closest_vehicle_distance_label(ex) == 3
+
+    def test_vtab_clevr_label_math(self):
+        from robustvlm_tpu.benchmark.tfds_adapter import (
+            clevr_closest_object_distance_label,
+            clevr_count_all_label,
+        )
+
+        ex = {"objects": {"size": np.zeros(7)}}
+        assert clevr_count_all_label(ex) == 4  # 7 objects -> class 7-3
+        ex = {"objects": {"pixel_coords": np.array([[0, 0, 9.2], [0, 0, 12.0]])}}
+        # min z 9.2 falls in (9.0, 9.5] -> class 3 (thrs 0,8,8.5,9,9.5,10,100)
+        assert clevr_closest_object_distance_label(ex) == 3
+
+    def test_vtab_derived_dataset_labels(self, monkeypatch):
+        rng = np.random.RandomState(1)
+        examples = [
+            {
+                "image": rng.randint(0, 255, (30, 30, 3), np.uint8),
+                "objects": {"size": np.zeros(3 + i)},
+            }
+            for i in range(3)
+        ]
+        self._install_fake_tfds(monkeypatch, examples)
+        from robustvlm_tpu.benchmark.builder import build_dataset
+
+        (x, y), = list(
+            build_dataset("vtab/clevr_count_all", "", size=32, batch_size=8)
+        )
+        assert list(y) == [0, 1, 2]
+
+    def test_vtab_task_adaptation_tasks_raise(self, monkeypatch):
+        self._install_fake_tfds(monkeypatch, [])
+        from robustvlm_tpu.benchmark.tfds_adapter import build_vtab_dataset
+
+        with pytest.raises(NotImplementedError, match="wds/vtab"):
+            build_vtab_dataset("dsprites_label_orientation", None)
