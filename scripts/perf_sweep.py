@@ -45,6 +45,10 @@ CONFIGS = {
     "b8_noremat": (8, dict(remat=False)),
     "b8_full": (8, dict(remat="full")),
     "b8_sdpa": (8, dict(remat="dots", _ablate="sdpa")),
+    "b8_fwdonly": (8, dict(remat="dots", _fwd_only=True)),
+    "b8_noattn": (8, dict(remat="dots", _ablate="noattn")),
+    "b8_fwdonly_noattn": (8, dict(remat="dots", _fwd_only=True, _ablate="noattn")),
+    "b8_flash": (8, dict(remat="dots", flash=True)),
     "b16_sdpa": (16, dict(remat="dots", _ablate="sdpa")),
     "b12_dots": (12, dict(remat="dots")),
     "b16_dots": (16, dict(remat="dots")),
