@@ -94,6 +94,17 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     # --- LLaVA mm-projector (2D, no layer axis) ---
     (r".*projector/w1$", P("fsdp", "model")),
     (r".*projector/w2$", P("model", "fsdp")),
+    # --- OPT decoder (models/opt/model.py) ---
+    (r".*blocks.*mlp.*fc1$", P(None, "fsdp", "model")),
+    (r".*blocks.*mlp.*b1$", P(None, "model")),
+    (r".*blocks.*mlp.*fc2$", P(None, "model", "fsdp")),
+    # --- BLIP-2 Q-Former (grouped stacks: specs anchor to TRAILING dims,
+    # leading group/sublayer axes are padded with None by _spec_for) ---
+    (r".*groups/(self|cross)/[qkv]_w$", P("fsdp", "model")),
+    (r".*groups/(self|cross)/out_w$", P("model", "fsdp")),
+    (r".*groups/ffn/fc_w$", P("fsdp", "model")),
+    (r".*groups/ffn/proj_w$", P("model", "fsdp")),
+    (r".*language_projection/w$", P("fsdp", "model")),
     # --- embeddings / heads: shard the wide axis on fsdp ---
     (r".*patch_embed$", P("fsdp", None)),
     (r".*tok(en)?_embedding$", P("fsdp", None)),
@@ -103,9 +114,13 @@ _RULES: Tuple[Tuple[str, P], ...] = (
 )
 
 
-def _spec_for(path: str) -> P:
+def _spec_for(path: str, ndim: Optional[int] = None) -> P:
     for pat, spec in _RULES:
         if re.match(pat, path):
+            if ndim is not None and ndim > len(spec):
+                # specs anchor to TRAILING dims: extra leading axes (layer
+                # stacks, Q-Former group/sublayer axes) stay unsharded
+                spec = P(*([None] * (ndim - len(spec)) + list(spec)))
             return spec
     return P()  # replicate (layernorms, scalars, class embedding)
 
@@ -120,7 +135,12 @@ def param_sharding_rules(params, mesh: Mesh):
             str(getattr(k, "key", getattr(k, "idx", k))) for k in kp
         )
 
-    leaves = {path_str(kp): NamedSharding(mesh, _spec_for(path_str(kp))) for kp, _ in flat}
+    leaves = {
+        path_str(kp): NamedSharding(
+            mesh, _spec_for(path_str(kp), getattr(leaf, "ndim", None))
+        )
+        for kp, leaf in flat
+    }
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
         treedef, [leaves[path_str(kp)] for kp, _ in flat]

@@ -233,6 +233,57 @@ class TestLMShardingRules:
         assert float(jnp.abs(g).max()) > 0.0
 
 
+    def test_blip2_tree_mostly_sharded(self):
+        from robustvlm_tpu.models.blip2 import BLIP2_CONFIGS, init_blip2_params
+
+        params = init_blip2_params(
+            jax.random.PRNGKey(0), BLIP2_CONFIGS["test-tiny"]
+        )
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        assert _sharded_fraction(params, mesh) > 0.5
+        # the Q-Former's grouped (n_groups, freq, in, out) stacks must shard
+        # on their trailing dims (opt decoder matched by the LM rules)
+        assert _sharded_fraction(params["qformer"], mesh) > 0.5
+        assert _sharded_fraction(params["opt"], mesh) > 0.5
+
+    def test_sharded_blip2_grad_step_executes(self):
+        from robustvlm_tpu.models.blip2 import BLIP2_CONFIGS, init_blip2_params
+        from robustvlm_tpu.models.blip2.model import blip2_per_sample_loss
+
+        cfg = BLIP2_CONFIGS["test-tiny"]
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        params = shard_params(
+            init_blip2_params(jax.random.PRNGKey(0), cfg), mesh
+        )
+        rng = np.random.RandomState(0)
+        b, t = 8, 8
+        x = jax.device_put(
+            jnp.asarray(rng.rand(b, 3, 32, 32).astype(np.float32)),
+            batch_sharding(mesh),
+        )
+        tokens = jax.device_put(
+            jnp.asarray(rng.randint(5, cfg.opt.vocab_size, (b, t))),
+            batch_sharding(mesh, 2),
+        )
+        mask = jax.device_put(
+            jnp.asarray(rng.rand(b, t) > 0.4, jnp.float32),
+            batch_sharding(mesh, 2),
+        )
+
+        @jax.jit
+        def grad_step(params, x, tokens, mask):
+            def f(xx):
+                return jnp.sum(blip2_per_sample_loss(
+                    params, xx, tokens, tokens, mask, cfg,
+                    compute_dtype=jnp.float32,
+                ))
+            return jax.grad(f)(x)
+
+        g = grad_step(params, x, tokens, mask)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0.0
+
+
 class TestMultihost:
     """DDP-equivalent eval sharding/merge (reference eval_model.py:20-22 +
     all_gather_object merge, run_evaluation.py:1766-1775)."""
