@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", type=str2bool, default=False)
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batch the step into k chunks (one optimizer "
+                        "update); exact for equal chunks")
     p.add_argument("--eval_freq", type=int, default=50)
     p.add_argument("--log_freq", type=int, default=1)
     p.add_argument("--output_dir", default="out/run")
@@ -115,6 +118,7 @@ def main(args=None):
         momentum_sgd=args.momentum_sgd, warmup=args.warmup, steps=args.steps,
         output_normalize=args.output_normalize,
         compute_dtype=args.compute_dtype, remat=args.remat,
+        grad_accum=args.grad_accum,
     )
 
     out = Path(args.output_dir)

@@ -57,6 +57,15 @@ class TrainConfig:
     output_normalize: bool = False
     compute_dtype: str = "float32"   # 'bfloat16' for throughput
     remat: bool = False
+    # micro-batching: split the batch into `grad_accum` chunks, run the
+    # inner attack + backward per chunk in a lax.scan and average the
+    # gradients before ONE optimizer update. Numerically equivalent to the
+    # full-batch step for equal chunks (all losses are batch means), it
+    # trades nothing for (a) an HBM ceiling independent of global batch and
+    # (b) throughput: measured on v5e, per-example fwd+bwd cost RISES with
+    # batch (b8 302 vs b128 ~190 example-steps/s — see bench.py), so small
+    # chunks are faster even before memory pressure.
+    grad_accum: int = 1
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -160,7 +169,8 @@ def make_train_step(
 
         raise ValueError(f"unknown attack: {cfg.attack}")
 
-    def train_step(params, params_orig, opt_state, x, y, rng, step):
+    def chunk_grads(params, params_orig, x, y, rng):
+        """Attack + backward for one (micro-)batch -> (grads, metrics)."""
         emb_orig = jax.lax.stop_gradient(
             embed(params_orig, x, cfg.output_normalize)
         )
@@ -187,8 +197,6 @@ def make_train_step(
         (loss_total, (emb_clean, emb_adv, l_adv)), grads = jax.value_and_grad(
             outer_loss, has_aux=True
         )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
 
         def cos(a, b):
             an = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-12)
@@ -214,6 +222,51 @@ def make_train_step(
             metrics["acc"] = jnp.mean(
                 (jnp.argmax(emb_clean_n @ text_embedding, -1) == y).astype(jnp.float32)
             )
+        return grads, metrics
+
+    def train_step(params, params_orig, opt_state, x, y, rng, step):
+        k = cfg.grad_accum
+        if k <= 1:
+            grads, metrics = chunk_grads(params, params_orig, x, y, rng)
+        else:
+            b = x.shape[0]
+            if b % k:
+                raise ValueError(f"batch {b} not divisible by grad_accum {k}")
+            xs = dict(
+                x=x.reshape(k, b // k, *x.shape[1:]),
+                y=None if y is None else y.reshape(k, b // k),
+                rng=jax.random.split(rng, k),
+            )
+
+            def body(acc, ch):
+                g, m = chunk_grads(params, params_orig, ch["x"], ch["y"],
+                                   ch["rng"])
+                return jax.tree.map(jnp.add, acc, (g, m)), None
+
+            g0 = jax.tree.map(jnp.zeros_like, params)
+            m0 = jax.eval_shape(
+                lambda: chunk_grads(
+                    params, params_orig, xs["x"][0], None if y is None else
+                    xs["y"][0], xs["rng"][0],
+                )[1]
+            )
+            m0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+            if xs["y"] is None:
+                xs.pop("y")
+
+                def body(acc, ch):  # noqa: F811 - y-less variant
+                    g, m = chunk_grads(
+                        params, params_orig, ch["x"], None, ch["rng"]
+                    )
+                    return jax.tree.map(jnp.add, acc, (g, m)), None
+
+            (grads, metrics), _ = jax.lax.scan(body, (g0, m0), xs)
+            # equal chunks: mean-of-chunk-means == batch mean for every
+            # metric and for the gradients of the mean losses
+            grads, metrics = jax.tree.map(lambda a: a / k, (grads, metrics))
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
     return train_step

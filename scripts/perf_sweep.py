@@ -49,6 +49,8 @@ CONFIGS = {
     "b8_noattn": (8, dict(remat="dots", _ablate="noattn")),
     "b8_fwdonly_noattn": (8, dict(remat="dots", _fwd_only=True, _ablate="noattn")),
     "b8_flash": (8, dict(remat="dots", flash=True)),
+    "b8_dots_probs": (8, dict(remat="dots_probs")),
+    "b8_dots_saveable": (8, dict(remat="dots_saveable")),
     "b16_sdpa": (16, dict(remat="dots", _ablate="sdpa")),
     "b12_dots": (12, dict(remat="dots")),
     "b16_dots": (16, dict(remat="dots")),

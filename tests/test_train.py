@@ -128,3 +128,67 @@ class TestSGDOptimizer:
         step = jax.jit(make_train_step(cfg, CFG, None))
         p2, _, _ = step(params, params_orig, opt_state, x, y, jax.random.PRNGKey(0), 0)
         assert p2 is not None
+
+
+class TestGradAccum:
+    """Micro-batched step (grad_accum=k) must equal the full-batch step: the
+    APGD inner attack is per-example deterministic and every loss/metric is
+    a batch mean, so equal chunks reproduce the same update exactly (up to
+    fp reassociation)."""
+
+    def test_accum_matches_full_batch(self):
+        import dataclasses as dc
+
+        from robustvlm_tpu.train.trainer import make_optimizer
+
+        # SGD: the update is proportional to the gradient, so the param
+        # comparison bounds the gradient error directly (Adam's g/sqrt(v)
+        # first-step update amplifies fp-reassociation noise unboundedly)
+        cfg, params, params_orig, x, y, temb = _setup(
+            opt="sgd", momentum_sgd=0.0
+        )
+        opt = make_optimizer(cfg)
+
+        def run(c):
+            step = jax.jit(make_train_step(c, CFG, temb))
+            p, s, m = step(
+                params, params_orig, opt.init(params), x, y,
+                jax.random.PRNGKey(0), 0,
+            )
+            return p, m
+
+        p1, m1 = run(cfg)
+        p4, m4 = run(dc.replace(cfg, grad_accum=4))
+        for k in m1:
+            assert float(m1[k]) == pytest.approx(float(m4[k]), rel=2e-4, abs=2e-5), k
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p4
+        )
+        assert max(jax.tree.leaves(diffs)) < 5e-6
+
+    def test_accum_requires_divisible_batch(self):
+        import dataclasses as dc
+
+        cfg, params, params_orig, x, y, temb = _setup()
+        step = make_train_step(dc.replace(cfg, grad_accum=3), CFG, temb)
+        from robustvlm_tpu.train.trainer import make_optimizer
+
+        opt = make_optimizer(cfg)
+        with pytest.raises(ValueError, match="divisible"):
+            step(params, params_orig, opt.init(params), x, y,
+                 jax.random.PRNGKey(0), 0)
+
+    def test_accum_unsupervised_fare(self):
+        """y=None (pure FARE) path through the scan body."""
+        import dataclasses as dc
+
+        cfg, params, params_orig, x, y, temb = _setup()
+        step = jax.jit(
+            make_train_step(dc.replace(cfg, grad_accum=2), CFG, None)
+        )
+        from robustvlm_tpu.train.trainer import make_optimizer
+
+        opt = make_optimizer(cfg)
+        p, s, m = step(params, params_orig, opt.init(params), x, None,
+                       jax.random.PRNGKey(0), 0)
+        assert np.isfinite(float(m["loss"]))
