@@ -28,6 +28,7 @@ from robustvlm_tpu.models.llama.model import (
     LlamaConfig,
     llama_forward,
 )
+from robustvlm_tpu.models.mpt.model import MPT_CONFIGS, MPTConfig, mpt_forward
 from robustvlm_tpu.ops.image import normalize_clip, resize_bicubic
 
 Params = Dict[str, Any]
@@ -39,11 +40,19 @@ IGNORE_INDEX = -100
 @dataclasses.dataclass(frozen=True)
 class LlavaConfig:
     name: str
-    llama: LlamaConfig
+    llama: Optional[LlamaConfig]
     vision: CLIPConfig
     projector_type: str = "mlp2x_gelu"  # or "linear"
     # robust open_clip tower: drop last vision block, use raw patch tokens
     drop_last_vision_block: bool = True
+    # language-model family: "llama" (LLaVA-1.5/Vicuna) or "mpt"
+    # (reference llava/model/language_model/llava_mpt.py)
+    lm_family: str = "llama"
+    mpt: Optional["MPTConfig"] = None
+
+    @property
+    def lm_dim(self) -> int:
+        return self.llama.dim if self.lm_family == "llama" else self.mpt.d_model
 
     @property
     def n_image_tokens(self) -> int:
@@ -62,7 +71,24 @@ LLAVA_CONFIGS: Dict[str, LlavaConfig] = {
     "test-tiny": LlavaConfig(
         "test-tiny", LLAMA_CONFIGS["test-tiny"], CLIP_CONFIGS["test-tiny"],
     ),
+    # MPT-backed LLaVA (reference llava_mpt.py) — tiny config for tests;
+    # full-size pairs a robust tower with MPT-7B via dataclasses.replace
+    "test-tiny-mpt": LlavaConfig(
+        "test-tiny-mpt", None, CLIP_CONFIGS["test-tiny"],
+        lm_family="mpt", mpt=MPT_CONFIGS["test-tiny"],
+    ),
 }
+
+
+def _lm_tree(params: Params, cfg: LlavaConfig) -> Params:
+    return params["llama"] if cfg.lm_family == "llama" else params["mpt"]
+
+
+def _lm_forward(params: Params, cfg: LlavaConfig, **kw):
+    """Dispatch to the configured decoder family; uniform kwargs."""
+    if cfg.lm_family == "llama":
+        return llama_forward(params["llama"], cfg=cfg.llama, **kw)
+    return mpt_forward(params["mpt"], cfg=cfg.mpt, **kw)
 
 
 def encode_images(
@@ -98,10 +124,12 @@ def splice_embeddings(
     image_feats: jax.Array,
     pre_tokens: jax.Array,
     post_tokens: jax.Array,
+    cfg: Optional[LlavaConfig] = None,
 ) -> jax.Array:
     """[embed(pre); image; embed(post)] — the reference splice at
     IMAGE_TOKEN_INDEX (llava_arch.py:130-160) with static shapes."""
-    emb = params["llama"]["tok_embedding"]
+    lm = params["llama"] if (cfg is None or cfg.lm_family == "llama") else params["mpt"]
+    emb = lm["tok_embedding"]
     pre = emb[pre_tokens]
     post = emb[post_tokens]
     return jnp.concatenate(
@@ -124,9 +152,9 @@ def llava_forward(
     img = encode_images(
         params, pixels01, cfg, compute_dtype=compute_dtype, remat=remat
     )
-    embeds = splice_embeddings(params, img, pre_tokens, post_tokens)
-    return llama_forward(
-        params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+    embeds = splice_embeddings(params, img, pre_tokens, post_tokens, cfg)
+    return _lm_forward(
+        params, cfg, inputs_embeds=embeds,
         compute_dtype=compute_dtype, remat=remat, flash=flash,
     )
 
@@ -183,6 +211,7 @@ def make_llava_decode_fns(
     """(prefill_fn, decode_fn) for models/generation.py: prefill runs the
     vision tower + splice once; decode steps run the LM only."""
     from robustvlm_tpu.models.llama.model import init_cache
+    from robustvlm_tpu.models.mpt.model import init_mpt_cache
 
     img = encode_images(params, pixels01, cfg, compute_dtype=compute_dtype)
     t_prefix = pre_tokens.shape[1] + cfg.n_image_tokens  # static
@@ -193,7 +222,7 @@ def make_llava_decode_fns(
         n_rep = b // img.shape[0]
         img_r = jnp.repeat(img, n_rep, axis=0) if n_rep > 1 else img
         pre_r = jnp.repeat(pre_tokens, n_rep, axis=0) if n_rep > 1 else pre_tokens
-        embeds = splice_embeddings(params, img_r, pre_r, tokens)
+        embeds = splice_embeddings(params, img_r, pre_r, tokens, cfg)
         kv_valid_full = jnp.concatenate(
             [jnp.ones((b, t_prefix), bool), kv_valid], axis=1
         )
@@ -204,12 +233,18 @@ def make_llava_decode_fns(
             ],
             axis=1,
         )
-        cache = init_cache(
-            cfg.llama, b, max_len=t_prefix + max_total_len,
-            dtype=compute_dtype,
-        )
-        logits, cache = llama_forward(
-            params["llama"], cfg=cfg.llama, inputs_embeds=embeds,
+        if cfg.lm_family == "llama":
+            cache = init_cache(
+                cfg.llama, b, max_len=t_prefix + max_total_len,
+                dtype=compute_dtype,
+            )
+        else:
+            cache = init_mpt_cache(
+                cfg.mpt, b, max_len=t_prefix + max_total_len,
+                dtype=compute_dtype,
+            )
+        logits, cache = _lm_forward(
+            params, cfg, inputs_embeds=embeds,
             positions=pos_full, compute_dtype=compute_dtype,
             cache=cache, cache_pos=0, kv_mask=kv_valid_full,
         )
@@ -220,8 +255,8 @@ def make_llava_decode_fns(
         kv_mask_full = jnp.concatenate(
             [jnp.ones((b, t_prefix), bool), kv_mask], axis=1
         )
-        logits, cache = llama_forward(
-            params["llama"], tok, cfg=cfg.llama,
+        logits, cache = _lm_forward(
+            params, cfg, tokens=tok,
             positions=t_prefix + qpos, compute_dtype=compute_dtype,
             cache=cache, cache_pos=t_prefix + pos, kv_mask=kv_mask_full,
         )
@@ -234,10 +269,11 @@ def make_llava_decode_fns(
 def init_llava_params(rng: jax.Array, cfg: LlavaConfig) -> Params:
     from robustvlm_tpu.models.clip.model import init_clip_params
     from robustvlm_tpu.models.llama.model import init_llama_params
+    from robustvlm_tpu.models.mpt.model import init_mpt_params
 
     kv, kl, kp = jax.random.split(rng, 3)
     clip = init_clip_params(kv, cfg.vision)
-    wv, d = cfg.vision.vision.width, cfg.llama.dim
+    wv, d = cfg.vision.vision.width, cfg.lm_dim
     s = wv ** -0.5
     if cfg.projector_type == "linear":
         proj = {
@@ -252,8 +288,9 @@ def init_llava_params(rng: jax.Array, cfg: LlavaConfig) -> Params:
             "w2": jax.random.normal(k2, (d, d)) * d ** -0.5,
             "b2": jnp.zeros((d,)),
         }
-    return {
-        "vision": clip["visual"],
-        "projector": proj,
-        "llama": init_llama_params(kl, cfg.llama),
-    }
+    out = {"vision": clip["visual"], "projector": proj}
+    if cfg.lm_family == "llama":
+        out["llama"] = init_llama_params(kl, cfg.llama)
+    else:
+        out["mpt"] = init_mpt_params(kl, cfg.mpt)
+    return out
