@@ -146,6 +146,21 @@ def make_handler(controller: Controller):
             self.end_headers()
             self.wfile.write(data)
 
+        def do_GET(self):
+            # browser UI (stdlib replacement for the reference's gradio
+            # server, llava/serve/gradio_web_server.py) — see serve/web_ui.py
+            if self.path.rstrip("/") in ("", "/web"):
+                from robustvlm_tpu.serve.web_ui import PAGE
+
+                body = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json({"error": "unknown endpoint"}, 404)
+
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(n) or b"{}")

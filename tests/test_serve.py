@@ -93,3 +93,45 @@ class TestEndToEnd:
         assert res2["error_code"] == 0
         ctrl_srv.shutdown()
         wsrv.shutdown()
+
+
+class TestWebUI:
+    def test_controller_serves_html_page(self):
+        import urllib.request
+
+        from robustvlm_tpu.serve.controller import serve
+
+        srv = serve(host="127.0.0.1", port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_address[1]
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=10
+            ) as r:
+                assert r.headers["Content-Type"].startswith("text/html")
+                body = r.read().decode()
+            assert "worker_generate" in body and "list_models" in body
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/web", timeout=10
+            ) as r:
+                assert r.status == 200
+        finally:
+            srv.shutdown()
+
+    def test_unknown_get_is_404(self):
+        import urllib.error
+        import urllib.request
+
+        from robustvlm_tpu.serve.controller import serve
+
+        srv = serve(host="127.0.0.1", port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_address[1]
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/nope", timeout=10
+                )
+            assert ei.value.code == 404
+        finally:
+            srv.shutdown()
