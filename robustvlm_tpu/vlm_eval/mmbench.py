@@ -155,3 +155,39 @@ def eval_mmbench(records: Sequence[Dict]) -> Dict[str, float]:
         "circular_accuracy": 100.0 * sum(all(v) for v in per_q.values()) / len(per_q),
         "n_questions": len(per_q),
     }
+
+
+def main(argv=None):
+    """CLI (reference llava MMBench answer generation + accuracy scoring)."""
+    import argparse
+
+    from robustvlm_tpu.vlm_eval.run_evaluation import (
+        add_model_args,
+        build_eval_model,
+    )
+
+    p = argparse.ArgumentParser(description="MMBench multiple-choice eval")
+    add_model_args(p)
+    p.add_argument("--mmbench_tsv", required=True)
+    p.add_argument("--answers_file", default="")
+    p.add_argument("--single_round", action="store_true",
+                   help="skip the all-rounds circular option rotation")
+    p.add_argument("--lang", default="en")
+    p.add_argument("--max_new_tokens", type=int, default=8)
+    p.add_argument("--image_size", type=int, default=336)
+    args = p.parse_args(argv)
+
+    model = build_eval_model(args, "float")
+    rows = load_mmbench_tsv(args.mmbench_tsv)
+    records = run_mmbench(
+        model, rows, size=args.image_size, all_rounds=not args.single_round,
+        lang=args.lang, max_new_tokens=args.max_new_tokens,
+        answers_file=args.answers_file or None,
+    )
+    metrics = eval_mmbench(records)
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,38 @@ def run_pope(
                 f.write(json.dumps(a) + "\n")
     labels = [q.get("label", "yes") for q in questions]
     return eval_pope(answers, labels)
+
+
+def main(argv=None):
+    """CLI (reference llava/eval/model_vqa_loader.py + eval_pope.py combined
+    into one pass: generate answers, score precision/recall/F1/yes-ratio)."""
+    import argparse
+
+    from robustvlm_tpu.vlm_eval.run_evaluation import (
+        add_model_args,
+        build_eval_model,
+    )
+
+    p = argparse.ArgumentParser(description="POPE hallucination eval")
+    add_model_args(p)
+    p.add_argument("--pope_questions", required=True,
+                   help="POPE questions jsonl (question_id/image/text/label)")
+    p.add_argument("--image_root", required=True)
+    p.add_argument("--answers_path", default="")
+    p.add_argument("--max_new_tokens", type=int, default=16)
+    p.add_argument("--image_size", type=int, default=224)
+    args = p.parse_args(argv)
+
+    model = build_eval_model(args, "float")
+    questions = load_pope_questions(args.pope_questions)
+    metrics = run_pope(
+        model, questions, args.image_root, size=args.image_size,
+        max_new_tokens=args.max_new_tokens,
+        answers_path=args.answers_path or None,
+    )
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -27,8 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_parser():
-    p = argparse.ArgumentParser(description="VLM adversarial eval (TPU)")
+def add_model_args(p):
+    """Model-loading flag group, shared with the aux-eval CLIs
+    (pope/science_qa/mmbench)."""
     p.add_argument(
         "--model", default="llava",
         choices=["llava", "open_flamingo", "blip2"],
@@ -43,6 +44,12 @@ def build_parser():
                    help="robustified visual tower ckpt (FARE/TeCoA)")
     p.add_argument("--tokenizer_path", default="",
                    help="HF tokenizer dir; empty = hash tokenizer (tests)")
+    return p
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="VLM adversarial eval (TPU)")
+    add_model_args(p)
     # datasets
     p.add_argument("--eval_coco", action="store_true")
     p.add_argument("--eval_flickr30", action="store_true")

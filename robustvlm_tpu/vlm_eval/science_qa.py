@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import random
+from pathlib import Path
 import re
 from typing import Dict, List, Optional, Sequence
 
@@ -87,3 +88,81 @@ def build_sqa_prompt(problem: Dict, include_image: bool) -> str:
     if include_image:
         prompt = "<image>\n" + prompt
     return prompt
+
+
+def run_science_qa(
+    model,
+    problems: Dict[str, Dict],
+    split_ids: Sequence[str],
+    image_root: Optional[str] = None,
+    *,
+    size: int = 224,
+    max_new_tokens: int = 8,
+) -> Dict[str, float]:
+    """Generate an answer per question and score (reference model_vqa_science.py
+    generation loop + eval_science_qa.py scoring in one pass). Problems with
+    an `image` field load `<image_root>/<qid>/<image>`; text-only problems
+    run without pixels (a zero image keeps the adapter interface uniform)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    predictions = {}
+    for qid in split_ids:
+        prob = problems[qid]
+        has_image = bool(prob.get("image")) and image_root is not None
+        if has_image:
+            from PIL import Image
+
+            from robustvlm_tpu.data.loaders import default_image_transform
+
+            with Image.open(
+                Path(image_root) / str(qid) / prob["image"]
+            ) as img:
+                x = jnp.asarray(default_image_transform(size)(img))[None]
+        else:
+            x = jnp.zeros((1, 3, size, size), jnp.float32)
+        prompt_q = build_sqa_prompt(prob, include_image=has_image)
+        text = model.get_outputs(
+            x, [model.get_vqa_prompt(prompt_q.replace("<image>\n", ""), None)],
+            max_new_tokens=max_new_tokens,
+        )[0]
+        predictions[qid] = {"text": text, "prompt": prompt_q}
+    return eval_science_qa(predictions, problems, split_ids)
+
+
+def main(argv=None):
+    import argparse
+    import json
+
+    from robustvlm_tpu.vlm_eval.run_evaluation import (
+        add_model_args,
+        build_eval_model,
+    )
+
+    p = argparse.ArgumentParser(description="ScienceQA eval")
+    add_model_args(p)
+    p.add_argument("--problems", required=True, help="problems.json")
+    p.add_argument("--split_file", default="", help="pid_splits.json")
+    p.add_argument("--split", default="test")
+    p.add_argument("--image_root", default="")
+    p.add_argument("--max_new_tokens", type=int, default=8)
+    p.add_argument("--image_size", type=int, default=224)
+    args = p.parse_args(argv)
+
+    problems = json.loads(Path(args.problems).read_text())
+    if args.split_file:
+        split_ids = json.loads(Path(args.split_file).read_text())[args.split]
+    else:
+        split_ids = list(problems)
+    model = build_eval_model(args, "float")
+    metrics = run_science_qa(
+        model, problems, split_ids, args.image_root or None,
+        size=args.image_size, max_new_tokens=args.max_new_tokens,
+    )
+    metrics = {k: v for k, v in metrics.items() if k != "results"}
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

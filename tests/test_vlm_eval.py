@@ -753,3 +753,81 @@ class TestGptReview:
         assert summary["all"]["relative"] < 100.0
         assert parse_score("7 9\nreason") == [7.0, 9.0]
         assert parse_score("garbage") == [-1.0, -1.0]
+
+
+class TestAuxEvalCLIs:
+    """End-to-end CLI smoke for the aux evals (reference llava/eval scripts):
+    tiny model, hash tokenizer, tmp fixtures."""
+
+    @staticmethod
+    def _png(path, size=32):
+        from PIL import Image
+
+        Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (size, size, 3), np.uint8)
+        ).save(path)
+
+    def test_pope_cli(self, tmp_path):
+        from robustvlm_tpu.vlm_eval.pope import main
+
+        self._png(tmp_path / "img.png")
+        qfile = tmp_path / "pope.jsonl"
+        with open(qfile, "w") as f:
+            for i, lab in enumerate(["yes", "no"]):
+                f.write(json.dumps({
+                    "question_id": i, "image": "img.png",
+                    "text": "Is there a dog?", "label": lab,
+                }) + "\n")
+        m = main([
+            "--model", "llava", "--model_size", "test-tiny",
+            "--pope_questions", str(qfile), "--image_root", str(tmp_path),
+            "--answers_path", str(tmp_path / "ans.jsonl"),
+            "--max_new_tokens", "4", "--image_size", "32",
+        ])
+        assert set(m) >= {"accuracy", "precision", "recall", "f1", "yes_ratio"}
+        assert (tmp_path / "ans.jsonl").exists()
+
+    def test_science_qa_cli(self, tmp_path):
+        from robustvlm_tpu.vlm_eval.science_qa import main
+
+        (tmp_path / "q1").mkdir()
+        self._png(tmp_path / "q1" / "image.png")
+        problems = {
+            "q1": {"question": "Which?", "choices": ["x", "y"], "answer": 0,
+                   "image": "image.png"},
+            "q2": {"question": "What?", "choices": ["a", "b"], "answer": 1},
+        }
+        pfile = tmp_path / "problems.json"
+        pfile.write_text(json.dumps(problems))
+        m = main([
+            "--model", "llava", "--model_size", "test-tiny",
+            "--problems", str(pfile), "--image_root", str(tmp_path),
+            "--max_new_tokens", "2", "--image_size", "32",
+        ])
+        assert m["total"] == 2 and 0.0 <= m["acc"] <= 100.0
+
+    def test_mmbench_cli(self, tmp_path):
+        import base64
+        import io
+
+        from PIL import Image
+
+        from robustvlm_tpu.vlm_eval.mmbench import main
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.RandomState(1).randint(0, 255, (32, 32, 3), np.uint8)
+        ).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        tsv = tmp_path / "mmbench.tsv"
+        tsv.write_text(
+            "index\tquestion\thint\tA\tB\tC\tD\tanswer\timage\n"
+            f"0\tWhat is shown?\t\tcat\tdog\t\t\tA\t{b64}\n"
+        )
+        m = main([
+            "--model", "llava", "--model_size", "test-tiny",
+            "--mmbench_tsv", str(tsv),
+            "--answers_file", str(tmp_path / "ans.jsonl"),
+            "--single_round", "--max_new_tokens", "2", "--image_size", "32",
+        ])
+        assert "acc" in m or "accuracy" in m
