@@ -114,6 +114,17 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
         ),
     })
 
+    if model_name.startswith("ja_clip"):
+        # reference CLIP_benchmark models/ja_clip.py loads rinna's japanese
+        # CLIP via its own pip package (custom BERT text tower + external
+        # sentencepiece tokenizer); out of scope for the native rebuild —
+        # multilingual evaluation of OUR towers runs via --language with the
+        # shipped classname/template tables instead.
+        raise NotImplementedError(
+            "ja_clip models need the external `ja_clip` package (reference "
+            "clip_benchmark/models/ja_clip.py); use --language jp with a "
+            "CLIP tower, or evaluate rinna checkpoints with the reference."
+        )
     cfg = CLIP_CONFIGS[model_name]
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
     if pretrained and pretrained != "random":

@@ -265,6 +265,17 @@ def qformer_forward(
     return h.astype(jnp.float32)
 
 
+def _maybe_resize(pixels01: jax.Array, cfg: Blip2Config) -> jax.Array:
+    """Resize inside the forward (threat-model contract: attacks operate at
+    the raw input resolution, the model owns preprocessing — reference
+    strips the processor resize+normalize and re-applies in-wrapper)."""
+    if pixels01.shape[-1] != cfg.vision.image_size:
+        from robustvlm_tpu.ops.image import resize_bicubic
+
+        return resize_bicubic(pixels01, cfg.vision.image_size)
+    return pixels01
+
+
 # ----------------------------------------------------------------- glue
 def blip2_image_features(
     params: Params,
@@ -298,7 +309,7 @@ def blip2_forward(
     logits (B, Q + T, V). Image query embeddings are prefixed to the text
     embeddings (HF concatenation order)."""
     lm_in = blip2_image_features(
-        params, normalize_clip(pixels01), cfg,
+        params, normalize_clip(_maybe_resize(pixels01, cfg)), cfg,
         compute_dtype=compute_dtype, remat=remat,
     )
     tok_emb = params["opt"]["tok_embedding"][tokens]
@@ -353,7 +364,8 @@ def make_blip2_decode_fns(
     from robustvlm_tpu.models.opt.model import init_opt_cache
 
     lm_in = blip2_image_features(
-        params, normalize_clip(pixels01), cfg, compute_dtype=compute_dtype
+        params, normalize_clip(_maybe_resize(pixels01, cfg)), cfg,
+        compute_dtype=compute_dtype,
     )
     nq = cfg.num_query_tokens
 

@@ -831,3 +831,44 @@ class TestAuxEvalCLIs:
             "--single_round", "--max_new_tokens", "2", "--image_size", "32",
         ])
         assert "acc" in m or "accuracy" in m
+
+
+class TestRunEvaluationE2E:
+    """run_evaluation.main end-to-end on a tmp COCO-format dataset with the
+    tiny models — every family through the real harness (dataset ->
+    adapter -> APGD -> generation -> CIDEr -> results.json)."""
+
+    @staticmethod
+    def _fixture(tmp_path):
+        from PIL import Image
+
+        img_dir = tmp_path / "images"
+        img_dir.mkdir(exist_ok=True)
+        rng = np.random.RandomState(0)
+        images, anns = [], []
+        for i in range(2):
+            name = f"im{i}.png"
+            Image.fromarray(
+                rng.randint(0, 255, (32, 32, 3), np.uint8)
+            ).save(img_dir / name)
+            images.append({"id": i, "file_name": name})
+            anns.append({"image_id": i, "caption": f"a photo number {i}"})
+        ann = tmp_path / "ann.json"
+        ann.write_text(json.dumps({"images": images, "annotations": anns}))
+        return img_dir, ann
+
+    @pytest.mark.parametrize("model", ["llava", "open_flamingo", "blip2"])
+    def test_coco_apgd_all_families(self, tmp_path, model):
+        from robustvlm_tpu.vlm_eval.run_evaluation import main
+
+        img_dir, ann = self._fixture(tmp_path)
+        res = main([
+            "--model", model, "--model_size", "test-tiny",
+            "--eval_coco", "--coco_image_dir", str(img_dir),
+            "--coco_annotations", str(ann),
+            "--attack", "apgd", "--eps", "8", "--n_iter", "2",
+            "--num_samples", "2", "--max_new_tokens", "4",
+            "--out_base_path", str(tmp_path / "out"),
+        ])
+        assert "coco" in res
+        assert (tmp_path / "out" / "results.json").exists()
