@@ -86,6 +86,7 @@ def run_classification(
     n_iter: int = 100,
     n_samples: Optional[int] = None,
     batch_size: int = 128,
+    attack_batch: int = 8,
     verbose: bool = False,
 ) -> Dict[str, float]:
     """Evaluate a pixel-space logits closure over a dataset iterator.
@@ -123,8 +124,10 @@ def run_classification(
             logits_fn, eps=eps, norm=norm, n_iter=n_iter,
             attacks_to_run=["apgd-ce", "apgd-t"], verbose=verbose,
         )
+        # attack chunks of 8: per-example APGD throughput peaks there on
+        # v5e (bench.py batch curve); clean forwards stay at batch_size
         x_adv = aa.run_standard_evaluation(
-            jnp.asarray(x), jnp.asarray(y), bs=batch_size
+            jnp.asarray(x), jnp.asarray(y), bs=attack_batch
         )
         logits_adv = []
         for i in range(0, len(x), batch_size):

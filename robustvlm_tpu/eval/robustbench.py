@@ -58,7 +58,12 @@ def build_parser():
     p.add_argument("--imagenet_root", default="/mnt/datasets/imagenet")
     p.add_argument("--cifar10_root", default="/mnt/datasets/cifar10")
     p.add_argument("--n_ex", type=int, default=1000)
-    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=128,
+                   help="data-loading / clean-accuracy batch")
+    p.add_argument("--attack_batch", type=int, default=8,
+                   help="attack chunk size; per-example APGD throughput on "
+                        "v5e PEAKS at 8 (see bench.py batch curve) while "
+                        "forward-only cost is batch-insensitive")
     p.add_argument("--template", default="ensemble", choices=["std", "ensemble"])
     p.add_argument("--norm", default="linf")
     p.add_argument("--eps", type=float, default=2.0, help="in /255 units")
@@ -161,7 +166,7 @@ def main(argv=None):
             alpha=args.alpha, verbose=True, host_loop=args.host_loop,
         )
     x_adv = aa.run_standard_evaluation(
-        x, y, bs=args.batch_size,
+        x, y, bs=args.attack_batch,
         state_path=(args.state_path or None),
     )
     racc = aa.robust_accuracy_dict
