@@ -157,14 +157,35 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
                 data = wds.batched(args.batch_size)
             else:
                 data = classification_data()
+        elif dataset.startswith(("tfds/", "vtab/")):
+            # build through the adapter directly so its dataset-provided
+            # classnames (TFDS feature names / VTAB tables) are usable
+            from robustvlm_tpu.benchmark.tfds_adapter import (
+                build_tfds_dataset,
+                build_vtab_dataset,
+            )
+
+            build = (build_tfds_dataset if dataset.startswith("tfds/")
+                     else build_vtab_dataset)
+            tf_ds = build(
+                dataset.split("/", 1)[1], args.dataset_root or None,
+                split=args.split, size=size, n_samples=args.n_samples,
+            )
+            wds_classes = tf_ds.classes
+            data = tf_ds.batched(args.batch_size)
         else:
             data = classification_data()
+        # classname/template tables are keyed on the bare dataset name
+        bare = dataset.split("/", 1)[1] if dataset.startswith(
+            ("wds/", "tfds/", "vtab/")
+        ) else dataset
+        bare = bare.split("/")[-1] if bare.startswith("vtab/") else bare
         classnames = wds_classes or templates.get_classnames(
-            dataset if dataset != "synthetic" else "cifar10",
+            bare if dataset != "synthetic" else "cifar10",
             language=language,
         )
         tpls = (
-            (wds_templates or templates.get_templates(dataset, language=language))
+            (wds_templates or templates.get_templates(bare, language=language))
             if args.template == "ensemble"
             else [templates.STD_TEMPLATE + ""]
         )

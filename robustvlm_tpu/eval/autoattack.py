@@ -188,7 +188,14 @@ class AutoAttackTPU:
         state_path=None,
         return_labels: bool = False,
         run_checks: bool = True,
+        bs_forward: Optional[int] = None,
     ):
+        # bs sizes the ATTACK chunks (per-example APGD throughput on v5e
+        # peaks at small batch — see bench.py); clean/adv prediction passes
+        # are forward-only and batch-insensitive on-device, so they run at
+        # bs_forward (default: at least 128) to amortize per-dispatch
+        # latency through remote-execution backends
+        bs_fwd = bs_forward or max(bs, 128)
         n = x.shape[0]
         y_np = np.asarray(y)
 
@@ -216,7 +223,7 @@ class AutoAttackTPU:
 
         # clean pass
         if state.robust_flags is None:
-            preds = self._predict(x, bs)
+            preds = self._predict(x, bs_fwd)
             robust = preds == y_np
             state.robust_flags = robust
             state.clean_accuracy = float(robust.mean())
@@ -228,7 +235,7 @@ class AutoAttackTPU:
 
         x_np = np.asarray(x)
         x_adv = x_np.copy()
-        y_adv = self._predict(x, bs)
+        y_adv = self._predict(x, bs_fwd)
         t0 = time.time()
 
         for attack in todo:

@@ -96,17 +96,22 @@ def import_llava_state_dict(
     cfg: LlavaConfig,
     robust_vision_sd: Mapping[str, Any] = None,
 ) -> Dict:
-    """Full llava-1.5 state dict -> {vision, projector, llama}.
+    """Full llava state dict -> {vision, projector, llama|mpt}.
+
+    LLaMA-family checkpoints root the tree at `model.` (LlavaLlamaForCausalLM);
+    MPT-family at `transformer.` (reference llava_mpt.py:54 wraps everything —
+    decoder, vision tower, mm_projector — inside LlavaMPTModel).
 
     robust_vision_sd: optional open_clip visual state dict replacing the HF
     tower (the reference's pretrained_rob_path mechanism)."""
+    base = "model." if cfg.lm_family == "llama" else "transformer."
     proj = {
-        "w1": jnp.asarray(_to_np(sd["model.mm_projector.0.weight"]).T),
-        "b1": jnp.asarray(_to_np(sd["model.mm_projector.0.bias"])),
+        "w1": jnp.asarray(_to_np(sd[base + "mm_projector.0.weight"]).T),
+        "b1": jnp.asarray(_to_np(sd[base + "mm_projector.0.bias"])),
     }
     if cfg.projector_type != "linear":
-        proj["w2"] = jnp.asarray(_to_np(sd["model.mm_projector.2.weight"]).T)
-        proj["b2"] = jnp.asarray(_to_np(sd["model.mm_projector.2.bias"]))
+        proj["w2"] = jnp.asarray(_to_np(sd[base + "mm_projector.2.weight"]).T)
+        proj["b2"] = jnp.asarray(_to_np(sd[base + "mm_projector.2.bias"]))
 
     if robust_vision_sd is not None:
         vision = import_visual_state_dict(robust_vision_sd, cfg.vision)
@@ -114,8 +119,8 @@ def import_llava_state_dict(
         # find the vision tower prefix (varies across llava releases)
         prefix = None
         for cand in (
-            "model.vision_tower.vision_tower.",
-            "model.vision_tower.",
+            base + "vision_tower.vision_tower.",
+            base + "vision_tower.",
         ):
             if cand + "vision_model.embeddings.class_embedding" in sd:
                 prefix = cand
@@ -124,8 +129,17 @@ def import_llava_state_dict(
             raise ValueError("no vision tower found in LLaVA state dict")
         vision = import_hf_clip_vision(sd, cfg.vision, prefix)
 
-    llama = import_llama_state_dict(sd, cfg.llama)
-    return {"vision": vision, "projector": proj, "llama": llama}
+    out = {"vision": vision, "projector": proj}
+    if cfg.lm_family == "llama":
+        out["llama"] = import_llama_state_dict(sd, cfg.llama)
+    else:
+        from robustvlm_tpu.models.mpt.import_torch import import_mpt_state_dict
+
+        # MPT key paths already carry the `transformer.` root that
+        # LlavaMPTForCausalLM's state dict uses (import_mpt_state_dict
+        # formats keys as `transformer.blocks.{i}...`)
+        out["mpt"] = import_mpt_state_dict(sd, cfg.mpt)
+    return out
 
 
 def load_llava_checkpoint(

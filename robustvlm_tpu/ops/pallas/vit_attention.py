@@ -15,13 +15,13 @@ Design:
   keeps every head's temporaries live simultaneously and OOMs VMEM), with a
   direct fp32 softmax (exact, not online) and O = PV entirely in VMEM —
   zero HBM traffic for S or P.
-- Zero-cost padding masking: K/V/dO are zero-padded, so padded columns
-  score exactly 0. The row max therefore satisfies m >= 0 >= nothing
-  needed, exp(s - m) <= 1 never overflows, padded V rows contribute 0 to
-  the PV numerator, and only the softmax DENOMINATOR needs a masked sum —
-  one `where` pass. The backward needs no masking at all: padded K rows
-  zero out dQ contributions, padded dO rows zero out dK/dV contributions,
-  and garbage in padded output rows is sliced away by the caller.
+- Padding: K/V/dO are zero-padded and pad COLUMNS are masked to -1e30
+  before the softmax max (one fused `where` pass per kernel) — anchoring
+  the max at the pads' zero scores instead looks free but NaNs any row
+  whose true scores all sit below exp's underflow point, a regime
+  adversarial optimization can reach. Pad ROWS need no handling: garbage
+  there is sliced away by the caller and zero-padded dO rows contribute
+  nothing to dK/dV.
 - Backward is ONE kernel per program computing dQ, dK, dV together from the
   saved (q, k, v, o, lse): P is recomputed as exp(S − lse) (cheaper than
   round-tripping the (BH, N, N) probabilities through HBM), delta =
@@ -45,6 +45,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+NEG_INF = -1e30
+
 _BATCH_DOT = (((2,), (2,)), ((0,), (0,)))      # (hp,n,d) x (hp,m,d) -> (hp,n,m)
 _BATCH_DOT_T = (((1,), (1,)), ((0,), (0,)))    # (hp,n,m) x (hp,n,d) -> (hp,m,d)
 _BATCH_MM = (((2,), (1,)), ((0,), (0,)))       # (hp,n,m) x (hp,m,d) -> (hp,n,d)
@@ -63,18 +65,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, seq: int, scale: float):
     q = q_ref[:] * jnp.asarray(scale, q_ref.dtype)
     s = jax.lax.dot_general(
         q, k_ref[:], _BATCH_DOT, preferred_element_type=jnp.float32
-    )  # (hp, n, n); padded cols/rows score exactly 0 (K zero-padded)
-    m = jnp.max(s, axis=-1, keepdims=True)  # >= 0, so exp below never overflows
-    p = jnp.exp(s - m)
+    )  # (hp, n, n)
     if seq != n:
+        # mask pad columns BEFORE the max: anchoring the max at the pads'
+        # zero scores instead would underflow rows whose true scores are
+        # all <= ~-88 to l == 0 -> 0/0 NaN (the regime adversarial inputs
+        # can reach); with the mask the true row max keeps exp in range
         col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
-        l = jnp.sum(jnp.where(col < seq, p, 0.0), axis=-1, keepdims=True)
-    else:
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        s = jnp.where(col < seq, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)  # pad cols exp(NEG_INF - m) == 0
+    l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:], _BATCH_MM,
         preferred_element_type=jnp.float32,
-    )  # padded V rows are zero: no numerator contribution
+    )
     o_ref[:] = (o / l).astype(o_ref.dtype)
     lse_ref[:] = m + jnp.log(l)
 
@@ -88,11 +93,14 @@ def _bwd_kernel(
     k = k_ref[:]
     v = v_ref[:]
     do = do_ref[:]
-    lse = lse_ref[:]  # (hp, n, 1) fp32; >= 0, so exp(-lse) <= 1 in pad cols
+    lse = lse_ref[:]  # (hp, n, 1) fp32
     s = jax.lax.dot_general(
         q, k, _BATCH_DOT, preferred_element_type=jnp.float32
     ) * scale
-    p = jnp.exp(s - lse)  # pad cols hold exp(-lse) garbage — see below
+    if seq != n:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+        s = jnp.where(col < seq, s, NEG_INF)
+    p = jnp.exp(s - lse)  # pad cols exactly 0 (lse finite for real rows)
     delta = jnp.sum(
         do.astype(jnp.float32) * o_ref[:].astype(jnp.float32),
         axis=-1, keepdims=True,
@@ -101,8 +109,7 @@ def _bwd_kernel(
         do, v, _BATCH_DOT, preferred_element_type=jnp.float32
     )  # do @ v^T
     ds = (p * (dp - delta) * scale).astype(q.dtype)
-    # dq: padded-K rows are zero, so pad-col garbage in ds multiplies 0;
-    # dk/dv: garbage lands only in padded ROWS, sliced away by the caller.
+    # dk/dv garbage lands only in padded ROWS, sliced away by the caller
     dq_ref[:] = jax.lax.dot_general(
         ds, k, _BATCH_MM, preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)

@@ -411,14 +411,16 @@ class Blip2EvalModel:
 
     @staticmethod
     def _answer_split(prompt: str):
-        """(context, answer): answer = text after the last ':' (VQA) or
-        after 'A photo of ' (captioning)."""
-        if ":" in prompt:
-            i = prompt.rfind(":") + 1
-            return prompt[:i], prompt[i:]
-        marker = "A photo of "
-        if prompt.startswith(marker):
-            return marker, prompt[len(marker):]
+        """(context, answer) split at the PROMPT MARKER, not any colon —
+        answers like '4:30' and captions containing ':' must stay whole."""
+        vqa_marker = " Short answer:"
+        i = prompt.rfind(vqa_marker)
+        if i >= 0:
+            cut = i + len(vqa_marker)
+            return prompt[:cut], prompt[cut:]
+        cap_marker = "A photo of "
+        if prompt.startswith(cap_marker):
+            return cap_marker, prompt[len(cap_marker):]
         return "", prompt
 
     def set_inputs(self, full_prompts: Sequence[str]):

@@ -135,6 +135,16 @@ def build_eval_model(args, precision: str):
 
         name = "blip2-opt-2.7b" if args.model_size == "7b" else "test-tiny"
         cfg = BLIP2_CONFIGS[name]
+        if (
+            not args.tokenizer_path
+            and getattr(tok, "vocab_size", 0) > cfg.opt.vocab_size
+        ):
+            # hash-tokenizer ids must fit the OPT vocab (the tiny config is
+            # 128, smaller than the default stand-in's 512 — out-of-range
+            # ids would silently clamp in the embedding lookup)
+            from robustvlm_tpu.vlm_eval.eval_models import WordTokenizer
+
+            tok = WordTokenizer(vocab_size=cfg.opt.vocab_size)
         ckpt = getattr(args, "blip2_ckpt", "")
         if ckpt:
             params = load_blip2_checkpoint(ckpt, cfg)

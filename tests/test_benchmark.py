@@ -426,3 +426,29 @@ class TestTfdsVtabAdapter:
 
         with pytest.raises(NotImplementedError, match="wds/vtab"):
             build_vtab_dataset("dsprites_label_orientation", None)
+
+
+class TestTfdsCliEndToEnd:
+    def test_cli_zeroshot_over_fake_tfds(self, tmp_path, monkeypatch):
+        """`--dataset tfds/cifar10` runs the full zero-shot CLI with the
+        adapter-provided classnames (regression: the classname lookup used
+        the prefixed name and the adapter's classes were discarded)."""
+        rng = np.random.RandomState(0)
+        examples = [
+            {"image": rng.randint(0, 255, (32, 32, 3), np.uint8),
+             "label": i % 2}
+            for i in range(4)
+        ]
+        TestTfdsVtabAdapter._install_fake_tfds(
+            monkeypatch, examples, label_names=("a cat", "a dog")
+        )
+        from robustvlm_tpu.benchmark.cli import main
+
+        res = main([
+            "eval", "--model", "test-tiny", "--pretrained", "random",
+            "--dataset", "tfds/cifar10", "--dataset_root", "",
+            "--task", "zeroshot_classification",
+            "--batch_size", "2", "--n_samples", "4",
+            "--output", str(tmp_path / "{model}_{dataset}_{task}.json"),
+        ])
+        assert len(res) == 1 and "acc1" in res[0]["metrics"]

@@ -276,3 +276,16 @@ class TestBlip2EvalModel:
             x01, prompts, max_new_tokens=4, num_beams=2, length_penalty=1.0
         )
         assert len(outs_beam) == 2
+
+
+class TestAnswerSplit:
+    def test_colon_in_answer_stays_whole(self):
+        from robustvlm_tpu.vlm_eval.eval_models import Blip2EvalModel
+
+        split = Blip2EvalModel._answer_split
+        ctx, ans = split("Question:when? Short answer:4:30")
+        assert ctx == "Question:when? Short answer:" and ans == "4:30"
+        ctx, ans = split("A photo of a sign that reads: stop")
+        assert ctx == "A photo of " and ans == "a sign that reads: stop"
+        ctx, ans = split("Question:why? Short answer:maybe")
+        assert ans == "maybe"

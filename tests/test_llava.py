@@ -238,3 +238,54 @@ class TestLlavaMpt:
         np.testing.assert_allclose(
             np.asarray(last), np.asarray(full[:, -1]), atol=2e-4, rtol=2e-3
         )
+
+
+class TestLlavaMptImport:
+    def test_llava_mpt_state_dict_roundtrip(self):
+        """Reference LlavaMPTForCausalLM layout (everything under
+        `transformer.`, llava_mpt.py:54) imports into a working model."""
+        from robustvlm_tpu.models.clip.import_torch import (
+            export_visual_state_dict,
+        )
+        from robustvlm_tpu.models.llava.import_torch import (
+            import_llava_state_dict,
+        )
+        from robustvlm_tpu.models.llava.model import (
+            LLAVA_CONFIGS, init_llava_params, llava_forward,
+        )
+        from robustvlm_tpu.models.mpt.model import init_mpt_params
+
+        cfg = LLAVA_CONFIGS["test-tiny-mpt"]
+        src = init_llava_params(jax.random.PRNGKey(3), cfg)
+
+        # fabricate the torch-layout dict: MPT keys (inverse of
+        # import_mpt_state_dict's map) + transformer.mm_projector
+        mpt = src["mpt"]
+        sd = {"transformer.wte.weight": np.asarray(mpt["tok_embedding"])}
+        for i in range(cfg.mpt.n_layers):
+            blk = f"transformer.blocks.{i}."
+            b = mpt["blocks"]
+            sd[blk + "norm_1.weight"] = np.asarray(b["norm_1"][i])
+            sd[blk + "norm_2.weight"] = np.asarray(b["norm_2"][i])
+            sd[blk + "attn.Wqkv.weight"] = np.asarray(b["attn"]["wqkv"][i]).T
+            sd[blk + "attn.out_proj.weight"] = np.asarray(b["attn"]["out_w"][i]).T
+            sd[blk + "ffn.up_proj.weight"] = np.asarray(b["mlp"]["up_w"][i]).T
+            sd[blk + "ffn.down_proj.weight"] = np.asarray(b["mlp"]["down_w"][i]).T
+        sd["transformer.norm_f.weight"] = np.asarray(mpt["norm_f"])
+        pr = src["projector"]
+        sd["transformer.mm_projector.0.weight"] = np.asarray(pr["w1"]).T
+        sd["transformer.mm_projector.0.bias"] = np.asarray(pr["b1"])
+        sd["transformer.mm_projector.2.weight"] = np.asarray(pr["w2"]).T
+        sd["transformer.mm_projector.2.bias"] = np.asarray(pr["b2"])
+
+        vis_sd = export_visual_state_dict(src["vision"], cfg.vision)
+        params = import_llava_state_dict(sd, cfg, robust_vision_sd=vis_sd)
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+        pre = jnp.asarray(rng.randint(3, 100, (1, 3)))
+        post = jnp.asarray(rng.randint(3, 100, (1, 4)))
+        ref = llava_forward(src, x, pre, post, cfg, compute_dtype=jnp.float32)
+        out = llava_forward(params, x, pre, post, cfg, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-4)

@@ -110,3 +110,27 @@ class TestModelDispatch:
         # asserts the dispatch wiring, numerical parity is covered above
         out = vision_forward(params, x, cfg, flash=True)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+class TestExtremeScores:
+    def test_all_negative_scores_padded_no_nan(self):
+        """Rows whose true scores sit far below exp's underflow range must
+        stay finite under padding (regression: anchoring the softmax max at
+        the zero-scoring pad columns NaN'd such rows)."""
+        b, h, n, d = 1, 1, 57, 64  # 57 -> padded 64
+        q = jnp.full((b, h, n, d), 10.0, jnp.float32)
+        k = jnp.full((b, h, n, d), -10.0, jnp.float32)  # s_scaled = -800
+        v = jnp.asarray(
+            np.random.RandomState(0).randn(b, h, n, d).astype(np.float32)
+        )
+        out = vit_attention(q, k, v, interpret=True)
+        ref = attention_reference(q, k, v)
+        assert np.all(np.isfinite(np.asarray(out)))
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-4)
+
+        def f(q, k, v):
+            return jnp.sum(vit_attention(q, k, v, interpret=True) ** 2)
+
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        for t in g:
+            assert np.all(np.isfinite(np.asarray(t)))
