@@ -32,6 +32,17 @@ scripts/perf_sweep.py):
     the compiled program (HLO constants changed the cache key per batch).
   - per-dispatch host-loop overhead through the remote tunnel ~14 ms/call;
     the in-jit scan path amortizes it.
+  - speed-of-light audit (round 2): back-to-back bf16 matmul at the exact
+    qkv shape (8224x1024x3072) calibrates to 140.4 TF/s on this chip — the
+    in-model 135 TF/s is 96% of that practical ceiling. Step decomposition
+    at b8 (ablations, scripts/perf_sweep.py): matmul-only skeleton
+    19.25 ms (fwd 8.98 + bwd 10.3), attention fwd 1.67 ms, attention
+    bwd+recompute 5.4 ms (FLOP-fair: 3x the fwd einsums) = 26.3 ms total,
+    ~91% of the composable ceiling (~24 ms). Structural alternatives all
+    measured SLOWER: cls-split tile-aligned attention (fwd 11.45 vs
+    10.65 ms; step 28.5 — slice/concat pad-transposes in the remat bwd),
+    scan unroll 2/4/24 (249/238/290 steps/s), dots_probs 261,
+    dots_saveable 279, no-remat 251, sdpa == einsum.
 
 Unit: per-example attack steps (model evals) per second per chip; the
 attack performs n_iter+1 evals. vs_baseline anchors the A100 PyTorch

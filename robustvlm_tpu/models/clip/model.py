@@ -148,15 +148,71 @@ def _attention(
         q = q.reshape(b, n, heads, hd)
         k = k.reshape(b, n, heads, hd)
         v = v.reshape(b, n, heads, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
-        if attn_mask is not None:
-            scores = scores + attn_mask
-        probs = jax.nn.softmax(scores.astype(softmax_dtype), axis=-1).astype(x.dtype)
-        # named for the 'dots_probs' remat policy: saving probs removes the
-        # scores-einsum + softmax recompute from the backward pass
-        probs = checkpoint_name(probs, "attn_probs")
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, w)
+        if CLS_SPLIT_ATTENTION and attn_mask is None and n > 1 and (n - 1) % 8 == 0:
+            out = _cls_split_attention(
+                q * jnp.asarray(1.0 / float(hd) ** 0.5, cd), k, v,
+                softmax_dtype,
+            ).reshape(b, n, w)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+            if attn_mask is not None:
+                scores = scores + attn_mask
+            probs = jax.nn.softmax(scores.astype(softmax_dtype), axis=-1).astype(x.dtype)
+            # named for the 'dots_probs' remat policy: saving probs removes
+            # the scores-einsum + softmax recompute from the backward pass
+            probs = checkpoint_name(probs, "attn_probs")
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, w)
     return out @ p["out_w"].astype(cd) + p["out_b"].astype(cd)
+
+
+# Route no-mask ViT attention through the tile-aligned [cls; patches]
+# decomposition below. Default OFF: measured on v5e at ViT-L b8 it LOSES
+# to the dense einsum path (fwd-only 11.45 vs 10.65 ms/eval, full attack
+# step 28.5 vs 26.3) — the per-layer token-dim slices/concat and their
+# pad-transposes in the remat backward cost more than the MXU tile
+# alignment saves (attention einsums are only ~1.7 ms of the 26.3 ms
+# step; the 42 TF/s they run at is not the bottleneck). Kept as an
+# explicitly-measured negative result and for shapes where the fringe
+# amortizes better.
+CLS_SPLIT_ATTENTION = False
+
+
+def _cls_split_attention(q, k, v, softmax_dtype):
+    """Exact attention for [cls; patches] sequences, tile-aligned on the MXU.
+
+    ViT sequences are a class token plus a power-of-two patch grid (257 for
+    L/14@224), and 257 pads the (N, N) score tiles on the 128x128 MXU.
+    Splitting the cls token out runs the heavy einsums on the 256-aligned
+    patch block (Q_p K_p^T and P_pp V_p tile perfectly), reduces the cls
+    key to a rank-1 fringe folded in with the flash-attention two-block
+    rescaling identity (exact: the row max and denominator include the cls
+    score), and handles the single cls query as one cheap full-width row.
+
+    q is PRE-SCALED by 1/sqrt(head_dim). Shapes (B, N, H, D) -> (B, N, H, D).
+    """
+    qc, qp = q[:, :1], q[:, 1:]
+    kc, kp = k[:, :1], k[:, 1:]
+    vc, vp = v[:, :1], v[:, 1:]
+    cd = v.dtype
+    s_pp = jnp.einsum("bqhd,bkhd->bhqk", qp, kp).astype(softmax_dtype)
+    s_pc = jnp.einsum("bqhd,bkhd->bhqk", qp, kc).astype(softmax_dtype)
+    m = jnp.maximum(jnp.max(s_pp, axis=-1, keepdims=True), s_pc)
+    e_pp = jnp.exp(s_pp - m)
+    e_pc = jnp.exp(s_pc - m)
+    l = jnp.sum(e_pp, axis=-1, keepdims=True) + e_pc
+    p_pp = checkpoint_name((e_pp / l).astype(cd), "attn_probs")
+    p_pc = checkpoint_name((e_pc / l).astype(cd), "attn_probs")
+    # cls-key contribution is a rank-1 update: broadcast multiply (VPU),
+    # not a batched (P,1)x(1,D) matmul dispatch
+    o_p = jnp.einsum("bhqk,bkhd->bqhd", p_pp, vp) + jnp.swapaxes(
+        p_pc, 1, 2
+    ) * vc
+    s_c = jnp.einsum("bqhd,bkhd->bhqk", qc, k).astype(softmax_dtype)
+    p_c = checkpoint_name(
+        jax.nn.softmax(s_c, axis=-1).astype(cd), "attn_probs"
+    )
+    o_c = jnp.einsum("bhqk,bkhd->bqhd", p_c, v)
+    return jnp.concatenate([o_c, o_p], axis=1)
 
 
 def _block(x, bp, heads, act, attn_mask, flash=False, softmax_dtype=jnp.float32):
@@ -192,11 +248,14 @@ def _transformer(
     n_skip_last: int = 0,
     flash: Optional[bool] = None,
     softmax_dtype=jnp.float32,
+    unroll: int = 1,
 ) -> jax.Array:
     """Scan over stacked transformer blocks.
 
     n_skip_last: statically drop the last k blocks (the robust LLaVA vision
     tower uses the penultimate layer, reference clip_encoder.py:59).
+    unroll: lax.scan unroll factor — >1 lets XLA software-pipeline across
+    block boundaries at the cost of a proportionally larger program.
     """
     if flash is None:
         flash = use_flash_default()
@@ -211,7 +270,7 @@ def _transformer(
 
     body = _maybe_remat(body, remat)
     run_blocks = jax.tree.map(lambda a: a[:n_run], blocks) if n_skip_last else blocks
-    x, _ = jax.lax.scan(body, x, run_blocks)
+    x, _ = jax.lax.scan(body, x, run_blocks, unroll=unroll)
     return x
 
 
@@ -269,6 +328,7 @@ def vision_forward(
     n_skip_last: int = 0,
     flash: Optional[bool] = None,
     softmax_dtype=jnp.float32,
+    unroll: int = 1,
 ) -> jax.Array:
     """ViT image encoder: NCHW normalized pixels -> (B, embed_dim) embedding.
 
@@ -297,6 +357,7 @@ def vision_forward(
     x = _transformer(
         x, vp["blocks"], cfg.vision.heads, act, remat=remat,
         n_skip_last=n_skip_last, flash=flash, softmax_dtype=softmax_dtype,
+        unroll=unroll,
     )
 
     if tokens:

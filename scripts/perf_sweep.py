@@ -51,6 +51,12 @@ CONFIGS = {
     "b8_flash": (8, dict(remat="dots", flash=True)),
     "b8_dots_probs": (8, dict(remat="dots_probs")),
     "b8_dots_saveable": (8, dict(remat="dots_saveable")),
+    "b8_unroll2": (8, dict(remat="dots", unroll=2)),
+    "b8_unroll4": (8, dict(remat="dots", unroll=4)),
+    "b8_unroll24": (8, dict(remat="dots", unroll=24)),
+    "b8_dense": (8, dict(remat="dots", _no_cls_split=True)),
+    "b8_dense_fwdonly": (8, dict(remat="dots", _fwd_only=True, _no_cls_split=True)),
+    "b8_dense_unroll4": (8, dict(remat="dots", unroll=4, _no_cls_split=True)),
     "b16_sdpa": (16, dict(remat="dots", _ablate="sdpa")),
     "b12_dots": (12, dict(remat="dots")),
     "b16_dots": (16, dict(remat="dots")),
@@ -95,9 +101,13 @@ def calibrate_matmul():
 def run_one(name, batch, mkw):
     fwd_only = mkw.pop("_fwd_only", False)
     ablate = mkw.pop("_ablate", None)
+    no_cls_split = mkw.pop("_no_cls_split", False)
     import robustvlm_tpu.models.clip.model as M
 
     orig_attention = M._attention
+    orig_cls_split = M.CLS_SPLIT_ATTENTION
+    if no_cls_split:
+        M.CLS_SPLIT_ATTENTION = False
     if ablate == "noattn":
         def _attention_noattn(x, p, heads, attn_mask, flash=False,
                               softmax_dtype=jnp.float32):
@@ -165,6 +175,7 @@ def run_one(name, batch, mkw):
         return
     finally:
         M._attention = orig_attention
+        M.CLS_SPLIT_ATTENTION = orig_cls_split
     ms = dt / K * 1000.0
     sps = batch * K / dt
     print(

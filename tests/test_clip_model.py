@@ -240,3 +240,43 @@ class TestCheckpointRoundtrip:
             np.asarray(encode_image(p_full, x, CFG)),
             atol=1e-5,
         )
+
+
+class TestClsSplitAttention:
+    """The tile-aligned [cls; patches] attention decomposition is exact
+    (same row max and denominator as the dense softmax), fwd and grad."""
+
+    def _mk(self, n, heads, hd, seed=0):
+        rng = np.random.RandomState(seed)
+        w = heads * hd
+        x = jnp.asarray(rng.randn(2, n, w).astype(np.float32))
+        p = {
+            "qkv_w": jnp.asarray(rng.randn(w, 3 * w).astype(np.float32) * 0.05),
+            "qkv_b": jnp.asarray(rng.randn(3 * w).astype(np.float32) * 0.05),
+            "out_w": jnp.asarray(rng.randn(w, w).astype(np.float32) * 0.05),
+            "out_b": jnp.asarray(rng.randn(w).astype(np.float32) * 0.05),
+        }
+        return x, p
+
+    @pytest.mark.parametrize("n", [17, 65])
+    def test_matches_dense_path(self, n, monkeypatch):
+        import robustvlm_tpu.models.clip.model as M
+        from robustvlm_tpu.models.clip.model import _attention
+
+        monkeypatch.setattr(M, "CLS_SPLIT_ATTENTION", True)
+        x, p = self._mk(n, heads=4, hd=16)
+        split = _attention(x, p, 4, None)  # (n-1) % 8 == 0 -> split path
+        dense = _attention(x, p, 4, jnp.zeros((n, n), jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(split), np.asarray(dense), atol=1e-5
+        )
+
+        g_s = jax.grad(lambda t: jnp.sum(_attention(t, p, 4, None) ** 2))(x)
+        g_d = jax.grad(
+            lambda t: jnp.sum(
+                _attention(t, p, 4, jnp.zeros((n, n), jnp.float32)) ** 2
+            )
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(g_s), np.asarray(g_d), atol=1e-4
+        )
