@@ -75,6 +75,12 @@ def import_visual_state_dict(
     sd: Mapping[str, Any], cfg: CLIPConfig, prefix: str = ""
 ) -> Dict:
     """Convert a torch visual-tower state dict (keys like `conv1.weight`)."""
+    if cfg.vision_arch == "convnext":
+        from robustvlm_tpu.models.clip.convnext import (
+            import_convnext_state_dict,
+        )
+
+        return import_convnext_state_dict(sd, cfg.convnext, prefix)
     g = lambda k: _to_np(sd[prefix + k])
     conv = g("conv1.weight")  # (W, 3, p, p)
     w = conv.shape[0]
@@ -117,6 +123,12 @@ def import_clip_state_dict(sd: Mapping[str, Any], cfg: CLIPConfig) -> Params:
 def export_visual_state_dict(visual: Dict, cfg: CLIPConfig) -> Dict[str, np.ndarray]:
     """Inverse of import_visual_state_dict: produce a torch-layout state dict
     (numpy values) loadable by reference `model.visual.load_state_dict`."""
+    if cfg.vision_arch == "convnext":
+        from robustvlm_tpu.models.clip.convnext import (
+            export_convnext_state_dict,
+        )
+
+        return export_convnext_state_dict(visual, cfg.convnext)
     p = cfg.patch_size
     w = cfg.vision.width
     out: Dict[str, np.ndarray] = {}
@@ -192,9 +204,9 @@ def load_clip_checkpoint(
                 interpolate_with = interpolate_with["vision_encoder_state_dict"]
         sd = _interpolate(sd, interpolate_with, beta)
 
-    if "visual.conv1.weight" in sd:
+    if "visual.conv1.weight" in sd or "visual.trunk.stem.0.weight" in sd:
         return import_clip_state_dict(sd, cfg)
-    if "conv1.weight" in sd:
+    if "conv1.weight" in sd or "trunk.stem.0.weight" in sd:
         if base_params is None:
             raise ValueError(
                 "visual-only checkpoint needs base_params for the text tower"

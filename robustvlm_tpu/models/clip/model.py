@@ -59,6 +59,10 @@ class CLIPConfig:
     vocab_size: int = 49408
     context_length: int = 77
     quick_gelu: bool = True  # openai pretrained models use QuickGELU
+    # vision tower architecture: "vit" (default) or "convnext"
+    # (open_clip convnext_base_w family — the zoo's ConvNeXt-B backbones)
+    vision_arch: str = "vit"
+    convnext: Optional[Any] = None  # ConvNeXtConfig when vision_arch=="convnext"
 
     @property
     def grid(self) -> int:
@@ -93,6 +97,29 @@ CLIP_CONFIGS: Dict[str, CLIPConfig] = {
         vocab_size=512, context_length=16,
     ),
 }
+
+
+def _register_convnext_configs():
+    # Deferred: convnext.py imports _maybe_remat from this module.
+    from robustvlm_tpu.models.clip.convnext import ConvNeXtConfig
+
+    # open_clip `convnext_base_w` (the zoo's ConvNeXt-B LAION-2B backbone,
+    # reference README.md:267-268): 256px, embed 640, GELU text tower.
+    CLIP_CONFIGS["convnext_base_w"] = CLIPConfig(
+        "convnext_base_w", 640, 256, 4,
+        TransformerConfig(1024, 0, 16),  # unused by the convnext tower
+        TransformerConfig(640, 12, 10),
+        quick_gelu=False, vision_arch="convnext",
+        convnext=ConvNeXtConfig(),
+    )
+    CLIP_CONFIGS["test-tiny-convnext"] = CLIPConfig(
+        "test-tiny-convnext", 64, 32, 4,
+        TransformerConfig(64, 0, 4),
+        TransformerConfig(64, 2, 4),
+        vocab_size=512, context_length=16,
+        quick_gelu=False, vision_arch="convnext",
+        convnext=ConvNeXtConfig(depths=(1, 1, 2, 1), dims=(8, 16, 32, 64)),
+    )
 
 
 # ----------------------------------------------------------------- primitives
@@ -330,12 +357,22 @@ def vision_forward(
     softmax_dtype=jnp.float32,
     unroll: int = 1,
 ) -> jax.Array:
-    """ViT image encoder: NCHW normalized pixels -> (B, embed_dim) embedding.
+    """Image encoder: NCHW normalized pixels -> (B, embed_dim) embedding.
 
     `tokens=True` returns all patch-token features after the (partial)
     transformer without ln_post/proj — the LLaVA tower interface.
     Matches open_clip VisionTransformer semantics for openai checkpoints.
+    Dispatches to the ConvNeXt tower when cfg.vision_arch == "convnext".
     """
+    if cfg.vision_arch == "convnext":
+        from robustvlm_tpu.models.clip.convnext import convnext_forward
+
+        if tokens or n_skip_last:
+            raise ValueError("tokens/n_skip_last are ViT-tower features")
+        return convnext_forward(
+            params["visual"], x, cfg.convnext, cfg.embed_dim,
+            normalize=normalize, compute_dtype=compute_dtype, remat=remat,
+        )
     vp = params["visual"]
     b = x.shape[0]
     p = cfg.patch_size
@@ -449,6 +486,20 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
     wv, wt = cfg.vision.width, cfg.text.width
     p = cfg.patch_size
     sv, st = wv ** -0.5, wt ** -0.5
+    if cfg.vision_arch == "convnext":
+        from robustvlm_tpu.models.clip.convnext import init_convnext_params
+
+        return {
+            "visual": init_convnext_params(kv, cfg.convnext, cfg.embed_dim),
+            "text": {
+                "token_embedding": jax.random.normal(k5, (cfg.vocab_size, wt)) * 0.02,
+                "positional_embedding": jax.random.normal(kt, (cfg.context_length, wt)) * 0.01,
+                "blocks": _init_blocks(kt, cfg.text),
+                "ln_final": {"g": jnp.ones(wt), "b": jnp.zeros(wt)},
+                "text_projection": jax.random.normal(kt, (wt, cfg.embed_dim)) * st,
+            },
+            "logit_scale": jnp.asarray(jnp.log(1 / 0.07), jnp.float32),
+        }
     return {
         "visual": {
             "patch_embed": jax.random.normal(k1, (3 * p * p, wv)) * sv,
@@ -468,3 +519,6 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
         },
         "logit_scale": jnp.asarray(jnp.log(1 / 0.07), jnp.float32),
     }
+
+
+_register_convnext_configs()

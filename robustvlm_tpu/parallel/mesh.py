@@ -105,6 +105,11 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r".*groups/ffn/fc_w$", P("fsdp", "model")),
     (r".*groups/ffn/proj_w$", P("model", "fsdp")),
     (r".*language_projection/w$", P("fsdp", "model")),
+    # --- ConvNeXt tower (models/clip/convnext.py): the 4x channel MLP
+    # dominates bytes; convs/norms stay replicated (small) ---
+    (r".*stages.*blocks.*fc1_w$", P(None, "fsdp", "model")),
+    (r".*stages.*blocks.*fc1_b$", P(None, "model")),
+    (r".*stages.*blocks.*fc2_w$", P(None, "model", "fsdp")),
     # --- embeddings / heads: shard the wide axis on fsdp ---
     (r".*patch_embed$", P("fsdp", None)),
     (r".*tok(en)?_embedding$", P("fsdp", None)),
