@@ -90,6 +90,19 @@ CLIP_CONFIGS: Dict[str, CLIPConfig] = {
         "ViT-L-14-336", 768, 336, 14,
         TransformerConfig(1024, 24, 16), TransformerConfig(768, 12, 12),
     ),
+    # LAION-2B pretrains (the zoo's "ViT-B/32 LAION-2B" / "ViT-B/16
+    # LAION-2B" TeCoA/FARE backbones, reference README.md:263-266): same
+    # architecture, standard GELU instead of OpenAI's QuickGELU.
+    "ViT-B-32-laion": CLIPConfig(
+        "ViT-B-32-laion", 512, 224, 32,
+        TransformerConfig(768, 12, 12), TransformerConfig(512, 12, 8),
+        quick_gelu=False,
+    ),
+    "ViT-B-16-laion": CLIPConfig(
+        "ViT-B-16-laion", 512, 224, 16,
+        TransformerConfig(768, 12, 12), TransformerConfig(512, 12, 8),
+        quick_gelu=False,
+    ),
     # tiny config for tests
     "test-tiny": CLIPConfig(
         "test-tiny", 64, 32, 8,
