@@ -35,12 +35,13 @@ ZOO = [
     ZooEntry("fare1-vitb32-openai", "ViT-B-32", "openai", (60.5, 38.0, 20.1, 2.9)),
     ZooEntry("tecoa4-vitb32-openai", "ViT-B-32", "openai", (44.0, 38.2, 33.1, 23.6)),
     ZooEntry("fare4-vitb32-openai", "ViT-B-32", "openai", (48.6, 40.6, 33.7, 21.9)),
-    ZooEntry("tecoa4-vitb32-laion2b", "ViT-B-32", "laion2b", (46.8, 40.6, 34.5, 23.3)),
-    ZooEntry("fare4-vitb32-laion2b", "ViT-B-32", "laion2b", (53.8, 44.4, 35.5, 21.2)),
-    ZooEntry("tecoa4-vitb16-laion2b", "ViT-B-16", "laion2b", (51.5, 45.0, 38.4, 26.4)),
-    ZooEntry("fare4-vitb16-laion2b", "ViT-B-16", "laion2b", (56.6, 47.7, 39.2, 23.5)),
-    # ConvNeXt-B rows exist in the reference zoo; the ViT rebuild covers the
-    # transformer backbones (ConvNeXt import is not implemented)
+    # LAION-2B pretrains use the GELU (-laion) configs, not OpenAI QuickGELU
+    ZooEntry("tecoa4-vitb32-laion2b", "ViT-B-32-laion", "laion2b", (46.8, 40.6, 34.5, 23.3)),
+    ZooEntry("fare4-vitb32-laion2b", "ViT-B-32-laion", "laion2b", (53.8, 44.4, 35.5, 21.2)),
+    ZooEntry("tecoa4-vitb16-laion2b", "ViT-B-16-laion", "laion2b", (51.5, 45.0, 38.4, 26.4)),
+    ZooEntry("fare4-vitb16-laion2b", "ViT-B-16-laion", "laion2b", (56.6, 47.7, 39.2, 23.5)),
+    ZooEntry("tecoa4-convnextb-laion2b", "convnext_base_w", "laion2b", (56.2, 50.4, 44.1, 31.8)),
+    ZooEntry("fare4-convnextb-laion2b", "convnext_base_w", "laion2b", (60.2, 52.3, 44.1, 28.4)),
 ]
 
 

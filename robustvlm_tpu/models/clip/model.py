@@ -382,6 +382,11 @@ def vision_forward(
 
         if tokens or n_skip_last:
             raise ValueError("tokens/n_skip_last are ViT-tower features")
+        if flash or unroll != 1 or softmax_dtype is not jnp.float32:
+            raise ValueError(
+                "flash/unroll/softmax_dtype are ViT-tower knobs; the "
+                "ConvNeXt tower has no attention"
+            )
         return convnext_forward(
             params["visual"], x, cfg.convnext, cfg.embed_dim,
             normalize=normalize, compute_dtype=compute_dtype, remat=remat,
@@ -502,19 +507,9 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
     if cfg.vision_arch == "convnext":
         from robustvlm_tpu.models.clip.convnext import init_convnext_params
 
-        return {
-            "visual": init_convnext_params(kv, cfg.convnext, cfg.embed_dim),
-            "text": {
-                "token_embedding": jax.random.normal(k5, (cfg.vocab_size, wt)) * 0.02,
-                "positional_embedding": jax.random.normal(kt, (cfg.context_length, wt)) * 0.01,
-                "blocks": _init_blocks(kt, cfg.text),
-                "ln_final": {"g": jnp.ones(wt), "b": jnp.zeros(wt)},
-                "text_projection": jax.random.normal(kt, (wt, cfg.embed_dim)) * st,
-            },
-            "logit_scale": jnp.asarray(jnp.log(1 / 0.07), jnp.float32),
-        }
-    return {
-        "visual": {
+        visual = init_convnext_params(kv, cfg.convnext, cfg.embed_dim)
+    else:
+        visual = {
             "patch_embed": jax.random.normal(k1, (3 * p * p, wv)) * sv,
             "class_embedding": jax.random.normal(k2, (wv,)) * sv,
             "positional_embedding": jax.random.normal(k3, (cfg.n_vision_tokens, wv)) * sv,
@@ -522,7 +517,9 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
             "blocks": _init_blocks(kv, cfg.vision),
             "ln_post": {"g": jnp.ones(wv), "b": jnp.zeros(wv)},
             "proj": jax.random.normal(k4, (wv, cfg.embed_dim)) * sv,
-        },
+        }
+    return {
+        "visual": visual,
         "text": {
             "token_embedding": jax.random.normal(k5, (cfg.vocab_size, wt)) * 0.02,
             "positional_embedding": jax.random.normal(kt, (cfg.context_length, wt)) * 0.01,

@@ -54,9 +54,11 @@ CONFIGS = {
     "b8_unroll2": (8, dict(remat="dots", unroll=2)),
     "b8_unroll4": (8, dict(remat="dots", unroll=4)),
     "b8_unroll24": (8, dict(remat="dots", unroll=24)),
-    "b8_dense": (8, dict(remat="dots", _no_cls_split=True)),
-    "b8_dense_fwdonly": (8, dict(remat="dots", _fwd_only=True, _no_cls_split=True)),
-    "b8_dense_unroll4": (8, dict(remat="dots", unroll=4, _no_cls_split=True)),
+    # dense einsum attention is the DEFAULT (CLS_SPLIT_ATTENTION=False);
+    # _cls_split forces the tile-aligned [cls; patches] path for A/B
+    "b8_split": (8, dict(remat="dots", _cls_split=True)),
+    "b8_split_fwdonly": (8, dict(remat="dots", _fwd_only=True, _cls_split=True)),
+    "b8_split_unroll4": (8, dict(remat="dots", unroll=4, _cls_split=True)),
     "b16_sdpa": (16, dict(remat="dots", _ablate="sdpa")),
     "b12_dots": (12, dict(remat="dots")),
     "b16_dots": (16, dict(remat="dots")),
@@ -101,13 +103,13 @@ def calibrate_matmul():
 def run_one(name, batch, mkw):
     fwd_only = mkw.pop("_fwd_only", False)
     ablate = mkw.pop("_ablate", None)
-    no_cls_split = mkw.pop("_no_cls_split", False)
+    cls_split = mkw.pop("_cls_split", None)
     import robustvlm_tpu.models.clip.model as M
 
     orig_attention = M._attention
     orig_cls_split = M.CLS_SPLIT_ATTENTION
-    if no_cls_split:
-        M.CLS_SPLIT_ATTENTION = False
+    if cls_split is not None:
+        M.CLS_SPLIT_ATTENTION = cls_split
     if ablate == "noattn":
         def _attention_noattn(x, p, heads, attn_mask, flash=False,
                               softmax_dtype=jnp.float32):
