@@ -192,3 +192,28 @@ class TestGradAccum:
         p, s, m = step(params, params_orig, opt.init(params), x, None,
                        jax.random.PRNGKey(0), 0)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestConvNeXtTrainStep:
+    def test_fare_step_convnext_tower(self):
+        """The trainer is tower-agnostic: a FARE step over the ConvNeXt
+        backbone (the zoo's ConvNeXt-B family) runs and updates params."""
+        ccfg = CLIP_CONFIGS["test-tiny-convnext"]
+        cfg = TrainConfig(
+            loss="l2", inner_loss="l2", attack="pgd", eps=4 / 255,
+            iterations_adv=2, warmup=2, steps=20, lr=1e-3,
+        )
+        params = init_clip_params(jax.random.PRNGKey(0), ccfg)
+        params_orig = jax.tree.map(lambda a: a, params)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(4, 3, 32, 32).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, 10, 4))
+        opt = make_optimizer(cfg)
+        opt_state = opt.init(params)
+        step = jax.jit(make_train_step(cfg, ccfg, None))
+        p2, opt_state, metrics = step(
+            params, params_orig, opt_state, x, y, jax.random.PRNGKey(0), 0
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, p2)
+        assert max(jax.tree.leaves(d)) > 0
