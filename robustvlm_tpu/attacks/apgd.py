@@ -207,10 +207,18 @@ def apgd_attack(
 
     eot_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
-    def eval_point(xa, inv):
+    def eval_point(xa, inv, it=None):
+        # fresh model randomness every attack iteration (reference draws new
+        # noise per forward, autopgd_base.py:370-390): fold the iteration
+        # index into the key; `it=None` is the pre-loop init eval
+        if model_rng_fn is not None:
+            k_it = (
+                inv["eot_rng"] if it is None
+                else jax.random.fold_in(inv["eot_rng"], it)
+            )
         if eot_iter <= 1 or model_rng_fn is None:
             (_, (loss_indiv, out)), grad = grad_fn(
-                xa, inv, None if model_rng_fn is None else inv["eot_rng"]
+                xa, inv, None if model_rng_fn is None else k_it
             )
         else:
             def eot_body(carry, key):
@@ -218,7 +226,7 @@ def apgd_attack(
                 (_, (li, out_i)), g = grad_fn(xa, inv, key)
                 return (g_acc + g, l_acc + li), out_i
 
-            keys = jax.random.split(inv["eot_rng"], eot_iter)
+            keys = jax.random.split(k_it, eot_iter)
             (g_sum, l_sum), outs = jax.lax.scan(
                 eot_body, (jnp.zeros_like(xa), jnp.zeros((b,), jnp.float32)),
                 keys,
@@ -327,7 +335,7 @@ def apgd_attack(
         x_new = step_fn(c, a, inv["x"])
         c = dict(c, x_adv_old=c["x_adv"], x_adv=x_new)
 
-        loss_indiv, grad, pred_correct = eval_point(c["x_adv"], inv)
+        loss_indiv, grad, pred_correct = eval_point(c["x_adv"], inv, i)
         acc = jnp.logical_and(c["acc"], pred_correct) if track_acc else c["acc"]
         fooled = jnp.logical_not(pred_correct)
         x_best_adv = jnp.where(expand(fooled), c["x_adv"], c["x_best_adv"])

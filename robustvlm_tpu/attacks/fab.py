@@ -79,14 +79,21 @@ def projection_hyperplane_box(u, w, b, norm: str):
 
     elif norm == "l2":
         # KKT: z(lam) = clip(u - lam*w, 0, 1); w·z(lam) monotone decreasing
-        wmax = jnp.max(jnp.abs(w), axis=1) + 1e-12
 
         def wz(lam):
             z = jnp.clip(u - lam[:, None] * w, 0.0, 1.0)
             return jnp.sum(w * z, axis=1)
 
         lo = jnp.zeros_like(b)
-        hi = 2.0 / wmax + 2.0  # enough to push every coordinate to its box edge
+        # coordinate i saturates at its constraint-reducing box edge once
+        # lam >= dist_i/|w_i|; hi = max over coordinates guarantees wz(hi)
+        # is the attainable minimum, so the "hi side feasible whenever
+        # satisfiable" bisection invariant holds even when small-|w|
+        # coordinates need lam far beyond 1/max|w|
+        dist = jnp.where(w > 0, u, 1.0 - u)
+        aw = jnp.abs(w)
+        lam_sat = jnp.where(aw > 1e-12, dist / jnp.maximum(aw, 1e-12), 0.0)
+        hi = jnp.max(lam_sat, axis=1) + 1.0
 
         def body(i, lh):
             lo, hi = lh
@@ -122,12 +129,17 @@ def projection_hyperplane_box(u, w, b, norm: str):
         move = (jnp.abs(w) >= theta[:, None]).astype(u.dtype)
         z_full = jnp.where(w > 0, 0.0, 1.0)
         z = u + move * (z_full - u)
-        # partial move on the threshold coordinate to hit b exactly
-        deficit = jnp.sum(w * z, axis=1) - b  # >= 0 residual violation
+        # theta = lo is the FEASIBLE side (w·z <= b): the full move on the
+        # threshold coordinate overshoots, so move it partially BACK toward
+        # u until w·z == b. slack <= 0 when satisfiable; per unit frac the
+        # move-back raises w·z by |w|*d on the threshold coords. In the
+        # infeasible case (even full moves leave w·z > b) slack > 0 and
+        # frac clips to 0 — z stays inside the box.
+        slack = jnp.sum(w * z, axis=1) - b
         at_thr = (jnp.abs(jnp.abs(w) - theta[:, None]) < 1e-6).astype(u.dtype)
-        wthr = jnp.sum(jnp.abs(w) * at_thr, axis=1) + 1e-12
-        frac = jnp.clip(deficit / wthr, 0.0, 1.0)
-        z = z - frac[:, None] * at_thr * jnp.sign(w) * d
+        red_thr = jnp.sum(jnp.abs(w) * d * at_thr, axis=1) + 1e-12
+        frac = jnp.clip(-slack / red_thr, 0.0, 1.0)
+        z = z + frac[:, None] * at_thr * jnp.sign(w) * d
 
     return jnp.where(need[:, None], z, u)
 

@@ -170,6 +170,36 @@ def _eta(s: int) -> "np.ndarray":
     return delta / np.sqrt((delta ** 2).sum())
 
 
+def _tiled_init_delta(k_init, b, c, h, w, s0, sp, e0, dtype):
+    """Initial delta: the eta tile repeated over an (h, w) grid with an
+    INDEPENDENT random sign per (example, channel, tile) — the reference
+    samples random_choice([b, c, 1, 1]) inside the tile loop
+    (square.py:306-319, :423-438), giving 2^(n_tiles) distinct init
+    patterns per channel; a single shared sign would collapse that
+    randomized-restart diversity to 2."""
+    import numpy as np
+
+    canvas = np.zeros((h, w), np.float32)
+    tile_i = np.full((h, w), -1, np.int64)
+    tile_j = np.full((h, w), -1, np.int64)
+    vh = max(sp, 0)
+    n_ti = max(h // s0, 1)
+    n_tj = max(w // s0, 1)
+    for i in range(n_ti):
+        vw = max(sp, 0)
+        for j in range(n_tj):
+            if vh + s0 <= h and vw + s0 <= w:
+                canvas[vh: vh + s0, vw: vw + s0] += e0
+                tile_i[vh: vh + s0, vw: vw + s0] = i
+                tile_j[vh: vh + s0, vw: vw + s0] = j
+            vw += s0
+        vh += s0
+    signs = jax.random.rademacher(k_init, (b, c, n_ti, n_tj), dtype=dtype)
+    sign_grid = signs[:, :, jnp.asarray(np.maximum(tile_i, 0)),
+                      jnp.asarray(np.maximum(tile_j, 0))]
+    return jnp.asarray(canvas)[None, None] * sign_grid  # (B, C, h, w)
+
+
 def _l2_sides(n_queries: int, n_fts: int, c: int, h: int, w: int,
               p_init: float, rescale: bool):
     """Static per-iteration square sides for the L2 schedule (odd, >=3)."""
@@ -211,22 +241,11 @@ def square_attack_l2(
     def normalize_full(t):
         return t / (l2n(t, (1, 2, 3)) + 1e-12)
 
-    # ---- init: tiled eta(h//5) grid with random per-(b,c) signs
+    # ---- init: tiled eta(h//5) grid with random per-(b,c,tile) signs
     k_init, rng = jax.random.split(rng)
     s0 = max(h // 5, 1)
     sp = (h - s0 * 5) // 2 if h >= 5 * s0 else 0
-    canvas = np.zeros((h, w), np.float32)
-    e0 = _eta(s0)
-    vh = max(sp, 0)
-    for _ in range(max(h // s0, 1)):
-        vw = max(sp, 0)
-        for _ in range(max(w // s0, 1)):
-            if vh + s0 <= h and vw + s0 <= w:
-                canvas[vh: vh + s0, vw: vw + s0] += e0
-            vw += s0
-        vh += s0
-    sign0 = jax.random.rademacher(k_init, (b, c, 1, 1), dtype=x.dtype)
-    delta = jnp.asarray(canvas)[None, None] * sign0
+    delta = _tiled_init_delta(k_init, b, c, h, w, s0, sp, _eta(s0), x.dtype)
     x_adv = jnp.clip(x + normalize_full(delta) * eps, 0.0, 1.0)
     margin = margin_loss(logits_fn(x_adv), y)
     loss_best = margin
@@ -365,22 +384,11 @@ def square_attack_l1(
     def l1n(t, axes, keepdims=True):
         return jnp.sum(jnp.abs(t), axis=axes, keepdims=keepdims)
 
-    # ---- init: tiled eta grid, projected into the L1 ball
+    # ---- init: tiled eta grid with per-(b,c,tile) signs, L1-ball projected
     k_init, rng = jax.random.split(rng)
     s0 = max(h // 5, 1)
     sp = (h - s0 * 5) // 2 if h >= 5 * s0 else 0
-    canvas = np.zeros((h, w), np.float32)
-    e0 = _eta_l1(s0)
-    vh = max(sp, 0)
-    for _ in range(max(h // s0, 1)):
-        vw = max(sp, 0)
-        for _ in range(max(w // s0, 1)):
-            if vh + s0 <= h and vw + s0 <= w:
-                canvas[vh: vh + s0, vw: vw + s0] += e0
-            vw += s0
-        vh += s0
-    sign0 = jax.random.rademacher(k_init, (b, c, 1, 1), dtype=x.dtype)
-    delta = jnp.asarray(canvas)[None, None] * sign0
+    delta = _tiled_init_delta(k_init, b, c, h, w, s0, sp, _eta_l1(s0), x.dtype)
     x_adv = x + delta + l1_ball_projection(x, delta, eps_eff)
     margin = margin_loss(logits_fn(x_adv), y)
     loss_best = margin

@@ -43,6 +43,13 @@ VERSIONS = {
 }
 
 
+def _ce_criterion(o, yy):
+    # module-level (stable identity): apgd.py's _CORE_CACHE keys on the
+    # criterion object, so a per-call lambda would force a full retrace
+    # and remote recompile for EVERY batch of the cascade
+    return ce_loss(o, yy, reduction="none")
+
+
 class AutoAttackTPU:
     def __init__(
         self,
@@ -62,6 +69,8 @@ class AutoAttackTPU:
         use_largereps: Optional[bool] = None,
         verbose: bool = True,
         host_loop: bool = False,
+        eot_iter: int = 1,
+        model_rng_fn: Optional[Callable] = None,
     ):
         self.logits_fn = logits_fn
         self.norm = norm
@@ -80,12 +89,33 @@ class AutoAttackTPU:
         )
         self.verbose = verbose
         self.host_loop = host_loop
+        self.eot_iter = eot_iter
+        self.model_rng_fn = model_rng_fn
         if version != "custom":
             if attacks_to_run:
                 raise ValueError("attacks_to_run requires version='custom'")
             attacks_to_run = VERSIONS[version]
+            # version presets override restart/target counts as the
+            # reference set_version does (autoattack.py:303-339)
+            if version == "standard":
+                self.n_restarts = 5 if norm == "l1" else 1
+                self.n_target_classes = 5 if norm == "l1" else 9
+            elif version == "plus":
+                self.n_restarts = 5
+                self.n_target_classes = 9
+            elif version == "rand":
+                # EOT against randomized defenses (reference :335-338)
+                self.n_restarts = 1
+                self.eot_iter = max(eot_iter, 20)
         self.attacks_to_run: List[str] = list(attacks_to_run or [])
         self.version = version
+        if version == "rand" and model_rng_fn is None:
+            log.warning(
+                "version='rand' runs EOT (eot_iter=%d) but no model_rng_fn "
+                "was given — a deterministic logits_fn makes EOT a no-op; "
+                "pass model_rng_fn=(lambda x, key: logits) for randomized "
+                "defenses", self.eot_iter,
+            )
 
     # ---------------------------------------------------------------- helpers
     def _predict(self, x: jax.Array, bs: int) -> np.ndarray:
@@ -103,13 +133,13 @@ class AutoAttackTPU:
             eps=self.eps, n_iter=self.n_iter, norm=self.norm,
             alpha=self.alpha, use_rs=self.use_rs, host_loop=self.host_loop,
             n_restarts=self.n_restarts, use_largereps=self.use_largereps,
+            eot_iter=self.eot_iter, model_rng_fn=self.model_rng_fn,
         )
         if attack == "apgd-ce":
             # restart loop (and L1 decr-eps schedule) live inside the attack
             # for every APGD variant (reference autopgd_base.py:453-582)
             res = apgd_restarts(
-                self.logits_fn, xb, yb,
-                criterion=lambda o, yy: ce_loss(o, yy, reduction="none"),
+                self.logits_fn, xb, yb, criterion=_ce_criterion,
                 rng=rng, **common,
             )
             return res.x_best_adv
@@ -222,6 +252,7 @@ class AutoAttackTPU:
             checks.check_dynamic(self.logits_fn, xb)
 
         # clean pass
+        preds = None
         if state.robust_flags is None:
             preds = self._predict(x, bs_fwd)
             robust = preds == y_np
@@ -235,7 +266,9 @@ class AutoAttackTPU:
 
         x_np = np.asarray(x)
         x_adv = x_np.copy()
-        y_adv = self._predict(x, bs_fwd)
+        # clean predictions seed y_adv; recompute only on the resume path
+        # (robust_flags restored from disk, preds never computed this run)
+        y_adv = preds if preds is not None else self._predict(x, bs_fwd)
         t0 = time.time()
 
         for attack in todo:

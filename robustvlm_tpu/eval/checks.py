@@ -73,13 +73,16 @@ def check_zero_gradients_fn(logits_fn: Callable, x, y) -> bool:
 
 
 def check_n_classes(n_cls: int, attacks_to_run, n_target_classes: int) -> None:
+    # targeted attacks index order[:, -tc] for tc in 2..n_target_classes+1,
+    # so n_cls == n_target_classes + 1 is exactly sufficient (reference
+    # checks.py:117-134 warns only when n_target_classes + 1 > n_cls)
     if any(a in attacks_to_run for a in ("apgd-t", "fab-t")):
-        if n_cls <= n_target_classes + 1:
+        if n_cls < n_target_classes + 1:
             log.warning(
-                "%d classes < n_target_classes+2=%d — targeted attacks will "
+                "%d classes < n_target_classes+1=%d — targeted attacks will "
                 "cycle through fewer targets.",
                 n_cls,
-                n_target_classes + 2,
+                n_target_classes + 1,
             )
 
 

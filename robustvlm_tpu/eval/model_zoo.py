@@ -82,6 +82,16 @@ def run_zoo(args) -> Dict[str, Dict]:
         if not ckpt.exists():
             print(f"[zoo] skip {entry.name}: no checkpoint at {ckpt}")
             continue
+        base_args = []
+        if args.base_ckpt_dir:
+            base = Path(args.base_ckpt_dir) / f"{entry.pretrain}_{entry.backbone}.pt"
+            if base.exists():
+                base_args = ["--base_pretrained", str(base)]
+            else:
+                print(
+                    f"[zoo] {entry.name}: no base checkpoint at {base} — "
+                    "a visual-only zoo checkpoint will get a random text tower"
+                )
         argv = [
             "--clip_model_name", entry.backbone,
             "--pretrained", str(ckpt),
@@ -96,6 +106,7 @@ def run_zoo(args) -> Dict[str, Dict]:
             "--output_dir", str(Path(args.output_dir) / entry.name),
             "--experiment_name", entry.name,
         ]
+        argv.extend(base_args)
         if args.full_benchmark:
             argv.append("--full_benchmark")
         if args.host_loop:

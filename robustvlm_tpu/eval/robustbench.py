@@ -49,6 +49,9 @@ def build_parser():
     p = argparse.ArgumentParser(description="CLIP robust-accuracy benchmark (TPU)")
     p.add_argument("--clip_model_name", default="ViT-L-14")
     p.add_argument("--pretrained", default="", help="checkpoint path; '' = random")
+    p.add_argument("--base_pretrained", default="",
+                   help="full CLIP checkpoint supplying the text tower when "
+                        "--pretrained is a visual-only (FARE/TeCoA) dict")
     p.add_argument("--pretrained2", default="",
                    help="second ckpt for beta-interpolation")
     p.add_argument("--beta", type=float, default=0.5,
@@ -94,6 +97,11 @@ def build_parser():
 def load_model(args):
     cfg = CLIP_CONFIGS[args.clip_model_name]
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    if getattr(args, "base_pretrained", ""):
+        # full base checkpoint first: visual-only fine-tunes then overlay
+        # just the vision tower (reference eval_utils.py:30-61 loads openai
+        # weights before model.visual.load_state_dict(ckpt))
+        params = load_clip_checkpoint(args.base_pretrained, cfg, base_params=params)
     if args.pretrained:
         params = load_clip_checkpoint(
             args.pretrained, cfg, base_params=params,

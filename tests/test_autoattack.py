@@ -186,6 +186,31 @@ class TestEOT:
         assert racc < 1.0
         assert float(jnp.abs(res.x_best_adv - x).max()) <= 16 / 255 + 1e-5
 
+    def test_fresh_randomness_each_iteration(self):
+        """Regression: the stochastic-model key must change per attack
+        iteration (reference draws fresh noise every forward); a fixed key
+        would make loss_best equal the single init draw."""
+        from robustvlm_tpu.attacks.apgd import apgd_attack
+
+        x = jnp.zeros((4, 3, 4, 4), jnp.float32)
+
+        def rng_model(xa, key):
+            # logits ignore x entirely: the loss IS the random draw
+            return jnp.broadcast_to(
+                jax.random.uniform(key, (1, 2)), (xa.shape[0], 2)
+            )
+
+        res = apgd_attack(
+            rng_model, x, None, criterion=lambda o, yy: o[:, 0],
+            eps=8 / 255, n_iter=20, norm="linf",
+            rng=jax.random.PRNGKey(1), model_rng_fn=rng_model,
+        )
+        init_loss = float(
+            rng_model(x, jax.random.PRNGKey(1))[0, 0]
+        )
+        # with per-iteration keys, the best over 21 draws beats the init draw
+        assert float(res.loss_best[0]) > init_loss
+
 
 class TestSquareL1:
     def test_fools_and_stays_in_ball(self):

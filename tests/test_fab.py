@@ -31,6 +31,36 @@ class TestProjections:
         z = projection_hyperplane_box(u, w, b_ok, "linf")
         np.testing.assert_allclose(z, u)
 
+    def test_l2_tiny_weight_coordinate_feasible(self):
+        """Regression: when small-|w| coordinates need lambda far beyond
+        1/max|w| the bisection upper bound must still be feasible."""
+        u = jnp.asarray([[1.0, 1.0]], jnp.float32)
+        w = jnp.asarray([[1.0, 1e-4]], jnp.float32)
+        b = jnp.asarray([0.0], jnp.float32)  # needs lam ~ 1e4
+        z = projection_hyperplane_box(u, w, b, "l2")
+        assert float(jnp.sum(w * z, 1)[0]) <= 1e-4
+        assert (np.asarray(z) >= -1e-6).all() and (np.asarray(z) <= 1 + 1e-6).all()
+
+    def test_l1_projection_tight_and_in_box(self):
+        """Regression: the L1 partial-move correction must land w.z == b
+        exactly (not overshoot) and never leave the box; infeasible rows
+        saturate at the box instead of escaping it."""
+        u, w, b = _linear_problem(seed=3)
+        z = projection_hyperplane_box(u, w, b, "l1")
+        zn = np.asarray(z)
+        assert (zn >= -1e-5).all() and (zn <= 1 + 1e-5).all()
+        wz = np.asarray(jnp.sum(w * z, 1))
+        bn = np.asarray(b)
+        # satisfiable rows must be tight (minimal L1 move => w.z == b)
+        assert np.abs(wz - bn).max() < 1e-3
+        # infeasible row: b below the attainable minimum
+        u1 = jnp.asarray([[0.9, 0.1]], jnp.float32)
+        w1 = jnp.asarray([[1.0, -1.0]], jnp.float32)
+        b1 = jnp.asarray([-5.0], jnp.float32)  # min w.z = -1
+        z1 = np.asarray(projection_hyperplane_box(u1, w1, b1, "l1"))
+        assert (z1 >= -1e-6).all() and (z1 <= 1 + 1e-6).all()
+        np.testing.assert_allclose(z1, [[0.0, 1.0]], atol=1e-5)
+
     def test_l2_projection_is_kkt_optimal(self):
         """L2 projection must equal clip(u - lam*w) with the bisection lam —
         compare against a dense scipy-free check: no strictly better point on
