@@ -35,6 +35,15 @@ from robustvlm_tpu.attacks.apgd import apgd_attack
 from robustvlm_tpu.vlm_eval.datasets import save_adv_image
 
 
+def _crit_untargeted(o, y):
+    return o
+
+
+def _crit_targeted(o, y):
+    # minimize loss on the target text == maximize its negation
+    return -o
+
+
 @dataclasses.dataclass(frozen=True)
 class AttackSpec:
     kind: str = "apgd"          # 'none' | 'apgd'
@@ -129,15 +138,20 @@ class EnsembleRunner:
     def _attack_one(self, model, x, spec: AttackSpec, x_init, rng):
         if spec.kind == "none":
             return x
-        if spec.targeted:
-            # minimize loss on the target text == maximize its negation
-            crit = lambda o, y: -o
-        else:
-            crit = lambda o, y: o
+        # module-level criteria: apgd's compiled-core cache keys on the
+        # criterion identity — a per-call lambda would recompile the whole
+        # attack scan for every image of every stage
+        crit = _crit_targeted if spec.targeted else _crit_untargeted
         res = apgd_attack(
             model, x, None, criterion=crit, eps=self.eps,
             n_iter=spec.n_iter, norm=self.norm,
             x_init=x_init, rng=rng, host_loop=self.host_loop,
+            # targeted stages all teacher-force the same target_str; a
+            # random start (seeded per stage/item) is what makes the
+            # worst-case-over-stages ensemble more than one deterministic
+            # run repeated. Untargeted stages keep the reference's
+            # deterministic clean-x start (each forces a DIFFERENT gt).
+            use_rs=spec.targeted and x_init is None,
         )
         return res.x_best
 
@@ -152,7 +166,12 @@ class EnsembleRunner:
     ) -> Dict:
         n = min(len(dataset), n_samples or len(dataset))
         items = [dataset[i] for i in range(n)]
-        ids = [it["image_id"] for it in items]
+        # per-ITEM key: VQA datasets carry several questions per image, so
+        # image_id alone would collide (later questions skipped/overwritten
+        # and dropped from the metric); question_id is unique per item
+        ids = [it.get("question_id", it["image_id"]) for it in items]
+        if len(set(ids)) != len(ids):
+            raise ValueError("ensemble items must have unique ids")
 
         left_to_attack: Dict = {i: True for i in ids}
         best_scores: Dict = {i: float("inf") for i in ids}
@@ -166,8 +185,8 @@ class EnsembleRunner:
 
         for a_idx, spec in enumerate(schedule):
             model = self._model(spec.precision)
-            for it in items:
-                iid = it["image_id"]
+            for i_idx, it in enumerate(items):
+                iid = ids[i_idx]
                 if not left_to_attack[iid]:
                     continue
                 x = jnp.asarray(it["image"])[None]
@@ -190,7 +209,11 @@ class EnsembleRunner:
                     if spec.init_from_best and best_adv[iid] is not None
                     else None
                 )
-                rng = jax.random.fold_in(jax.random.PRNGKey(seed), a_idx * 100003 + iid)
+                # positional index, not the id: image/question ids can be
+                # strings (TextVQA/VizWiz)
+                rng = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(seed), a_idx), i_idx
+                )
                 x_adv = self._attack_one(model, x, eff_spec, x_init, rng)
 
                 query_prompt = self.prompt_fn(model, it, eff_spec, True)
@@ -200,12 +223,17 @@ class EnsembleRunner:
                     num_beams=self.num_beams,
                 )[0]
                 score = self.score_fn(out, it)
-                if score < best_scores[iid]:
-                    best_scores[iid] = score
+                # NaN scores (e.g. unannotated test-split questions) never
+                # win a `<` comparison — record the FIRST output/adv so
+                # such samples still produce generations and saved images,
+                # but leave best_scores at inf (attacked every stage)
+                if best_outputs[iid] is None or score < best_scores[iid]:
                     best_outputs[iid] = out
                     best_adv[iid] = np.asarray(x_adv[0])
                     if eff_spec.gt_idx is not None:
                         gt_dict[str(iid)] = eff_spec.gt_idx
+                    if not np.isnan(score):
+                        best_scores[iid] = score
                 if best_scores[iid] < self.threshold:
                     left_to_attack[iid] = False
             if self.verbose:

@@ -132,6 +132,16 @@ class LlavaEvalModel:
         jitted = jax.jit(loss_fn)
         self._loss = lambda *a: jitted(self.params, *a)
 
+        # bound-model protocol (attacks/apgd.py): params AND the cached
+        # teacher-forcing tokens ride as runtime operands of the compiled
+        # attack core — never HLO constants (CLAUDE.md: closed-over trees
+        # mean hundred-MB programs + per-prompt recompiles + a latent
+        # stale-prompt hazard if the core cache ever hits)
+        def pure(p, pre, post, labels, mask, x01):
+            return loss_fn(p, x01, pre, post, labels, mask)
+
+        self.pure = pure
+
     # ---- prompt builders (reference models/llava.py:148-185)
     def get_caption_prompt(self, caption: Optional[str] = None) -> str:
         from robustvlm_tpu.models.llava.conversation import get_caption_prompt
@@ -171,6 +181,12 @@ class LlavaEvalModel:
             labels=jnp.asarray(post_arr),
             label_mask=jnp.asarray(mask_arr),
         )
+
+    @property
+    def bound_args(self):
+        c = self._cached
+        assert c is not None, "call set_inputs first"
+        return (self.params, c.pre, c.post, c.labels, c.label_mask)
 
     def __call__(self, x01: jax.Array) -> jax.Array:
         c = self._cached
@@ -254,6 +270,14 @@ class FlamingoEvalModel:
         jitted = jax.jit(loss_fn)
         self._loss = lambda *a: jitted(self.params, *a)
 
+        # bound-model protocol (attacks/apgd.py; see LlavaEvalModel)
+        def pure(p, lang, labels, mask, vision_x):
+            if vision_x.ndim == 4:
+                vision_x = vision_x[:, None, None]
+            return loss_fn(p, vision_x, lang, labels, mask)
+
+        self.pure = pure
+
     def get_caption_prompt(self, caption: Optional[str] = None) -> str:
         c = f" {caption.strip()}<|endofchunk|>" if caption else ""
         return f"<image>Output:{c}"
@@ -318,6 +342,11 @@ class FlamingoEvalModel:
         self._lang = jnp.asarray(lang_arr)
         self._labels = jnp.asarray(lang_arr)
         self._mask = jnp.asarray(mask_arr)
+
+    @property
+    def bound_args(self):
+        assert self._lang is not None, "call set_inputs first"
+        return (self.params, self._lang, self._labels, self._mask)
 
     def __call__(self, vision_x: jax.Array) -> jax.Array:
         assert self._lang is not None, "call set_inputs first"
@@ -399,6 +428,12 @@ class Blip2EvalModel:
         jitted = jax.jit(loss_fn)
         self._loss = lambda *a: jitted(self.params, *a)
 
+        # bound-model protocol (attacks/apgd.py; see LlavaEvalModel)
+        def pure(p, tokens, labels, mask, x01):
+            return loss_fn(p, x01, tokens, labels, mask)
+
+        self.pure = pure
+
     # ---- prompt builders (reference blip.py:105-112)
     def get_caption_prompt(self, caption: Optional[str] = None) -> str:
         return f"A photo of {caption if caption is not None else ''}"
@@ -442,6 +477,12 @@ class Blip2EvalModel:
         self._cached = (
             jnp.asarray(arr), jnp.asarray(arr), jnp.asarray(mask_arr)
         )
+
+    @property
+    def bound_args(self):
+        assert self._cached is not None, "call set_inputs first"
+        tokens, labels, mask = self._cached
+        return (self.params, tokens, labels, mask)
 
     def __call__(self, x01: jax.Array) -> jax.Array:
         assert self._cached is not None, "call set_inputs first"

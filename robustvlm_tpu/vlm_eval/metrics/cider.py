@@ -99,7 +99,9 @@ class CiderIDF:
     def score(self, cand: str, refs: Sequence[str]) -> float:
         """CIDEr-D of one candidate vs its references, on the x10 scale
         (perfect >=4-token match = 10.0). The harness multiplies by a
-        further x10 for the reference's x100 scale."""
+        further x100 (run_evaluation.py) to land on the reference's scale:
+        pycocoevalcap's internal x10 then coco_metric.py:42 `scores *= 100`
+        — the cider<10 early-stop threshold lives on THAT scale."""
         cand_counts = _counts(cand)
         len_c = len(tokenize(cand))
         ref_counts = [_counts(r) for r in refs]

@@ -175,6 +175,16 @@ def build_eval_model(args, precision: str):
     return FlamingoEvalModel(params, cfg, tok, compute_dtype=compute_dtype)
 
 
+def _image_size(args) -> int:
+    """Input resolution per model family/size: LLaVA-1.5 uses the 336px
+    tower unless a robust 224px tower is swapped in
+    (reference clip_encoder.py); tiny test configs run at 32."""
+    if (args.model == "llava" and args.model_size == "7b"
+            and not args.vision_encoder_pretrained):
+        return 336
+    return 224 if args.model_size == "7b" else 32
+
+
 def evaluate_captioning(args, dataset_name: str, image_dir: str,
                         annotations: str) -> Dict:
     from robustvlm_tpu.vlm_eval.datasets import CaptionDataset, TensorCaptionDataset
@@ -184,13 +194,18 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     )
     from robustvlm_tpu.vlm_eval.metrics.cider import CiderIDF, CiderScorer
 
-    size = 336 if (args.model == "llava" and args.model_size == "7b"
-                   and not args.vision_encoder_pretrained) else (
-        224 if args.model_size == "7b" else 32)
+    size = _image_size(args)
     ds = CaptionDataset(
         image_dir, annotations, size=size, n_samples=args.num_samples
     )
     if args.from_saved:
+        if args.attack != "none":
+            # re-attacking saved adversarial images would center a NEW
+            # eps-ball on the already-perturbed pixels (up to 2*eps total
+            # from the clean image — a silent threat-model violation);
+            # --from_saved is for re-evaluation (reference TensorCaption
+            # usage, eval_datasets.py:211-243)
+            raise ValueError("--from_saved requires --attack none")
         ds = TensorCaptionDataset(ds, args.from_saved)
 
     def prompt_fn(model, item, spec, query_only):
@@ -207,8 +222,12 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     # CIDEr under a singleton corpus is identically 0 (log N = 0), which
     # would stop the whole schedule after the clean pass (reference scores
     # every stage over the full result set, coco_metric.py:22-46)
+    # caption lists come straight off the annotation tables — indexing the
+    # dataset here would decode every image from disk just to discard it
     n_eval = min(len(ds), args.num_samples or len(ds))
-    idf = CiderIDF([ds[k]["all_captions"] for k in range(n_eval)])
+    cap_ds = ds.base if hasattr(ds, "base") else ds
+    eval_ids = [cap_ds.ids[k] for k in range(n_eval)]
+    idf = CiderIDF([cap_ds.captions[i] for i in eval_ids])
 
     def score_fn(caption, item):
         return idf.score(caption, item["all_captions"]) * 100.0
@@ -234,11 +253,7 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     res = runner.run(ds, schedule, seed=args.seed, n_samples=args.num_samples)
 
     cands = {i: c for i, c in res["outputs"].items() if c is not None}
-    refs = {}
-    for k in range(min(len(ds), args.num_samples or len(ds))):
-        it = ds[k]
-        if it["image_id"] in cands:
-            refs[it["image_id"]] = it["all_captions"]
+    refs = {i: cap_ds.captions[i] for i in eval_ids if i in cands}
     cider = (
         CiderScorer([cands[i] for i in cands], [refs[i] for i in cands]).corpus()
         * 100.0 if cands else float("nan")
@@ -269,9 +284,7 @@ def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
     )
     from robustvlm_tpu.vlm_eval.metrics.vqa_accuracy import vqa_accuracy
 
-    size = 336 if (args.model == "llava" and args.model_size == "7b"
-                   and not args.vision_encoder_pretrained) else (
-        224 if args.model_size == "7b" else 32)
+    size = _image_size(args)
     image_dir = getattr(args, f"{dataset_name}_image_dir")
     questions = getattr(args, f"{dataset_name}_questions")
     annotations = getattr(args, f"{dataset_name}_annotations")

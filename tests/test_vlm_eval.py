@@ -535,6 +535,34 @@ class TestFlamingoEvalModel:
         )
         assert float(m(res.x_best)[0]) > l0
 
+    def test_bound_model_protocol_one_core_fresh_prompts(self):
+        """The adapters must expose .pure/.bound_args so (a) params and
+        prompt tokens ride as runtime operands — NOT HLO constants — and
+        (b) a second prompt reuses the SAME compiled attack core while
+        attacking the NEW prompt (stale-prompt regression)."""
+        from robustvlm_tpu.attacks.apgd import _CORE_CACHE, apgd_attack
+
+        m = self._model()
+        assert callable(m.pure)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+        )
+        crit = lambda o, y: o
+        _CORE_CACHE.clear()
+        m.set_inputs([m.get_caption_prompt("a small red bird")])
+        res_a = apgd_attack(m, x, None, criterion=crit, eps=8 / 255,
+                            n_iter=3, norm="linf")
+        m.set_inputs([m.get_caption_prompt("an enormous blue whale truck")])
+        res_b = apgd_attack(m, x, None, criterion=crit, eps=8 / 255,
+                            n_iter=3, norm="linf")
+        assert len(_CORE_CACHE) == 1, "prompt change must not recompile"
+        # the second attack must have optimized the SECOND prompt's loss:
+        # its best loss equals the adapter's loss on its adv point under
+        # prompt B, and differs from prompt A's trajectory
+        lb = float(m(res_b.x_best)[0])
+        assert abs(lb - float(res_b.loss_best[0])) < 1e-3
+        assert abs(float(res_a.loss_best[0]) - float(res_b.loss_best[0])) > 1e-6
+
     def test_answer_mask_covers_caption_only(self):
         m = self._model()
         m.set_inputs([m.get_caption_prompt("red bird")])
