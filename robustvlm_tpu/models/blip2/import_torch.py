@@ -24,17 +24,7 @@ from robustvlm_tpu.models.blip2.model import Blip2Config, Params
 from robustvlm_tpu.models.opt.model import OPTConfig
 
 
-def _to_np(v) -> np.ndarray:
-    if isinstance(v, np.ndarray):
-        return v
-    try:
-        import torch
-
-        if isinstance(v, torch.Tensor):
-            return v.detach().cpu().float().numpy()
-    except ImportError:
-        pass
-    return np.asarray(v)
+from robustvlm_tpu.models.clip.import_torch import _to_np
 
 
 def _stack(sd, fmt, idxs, transpose=False):

@@ -269,7 +269,7 @@ def _maybe_resize(pixels01: jax.Array, cfg: Blip2Config) -> jax.Array:
     """Resize inside the forward (threat-model contract: attacks operate at
     the raw input resolution, the model owns preprocessing — reference
     strips the processor resize+normalize and re-applies in-wrapper)."""
-    if pixels01.shape[-1] != cfg.vision.image_size:
+    if pixels01.shape[-2:] != (cfg.vision.image_size, cfg.vision.image_size):
         from robustvlm_tpu.ops.image import resize_bicubic
 
         return resize_bicubic(pixels01, cfg.vision.image_size)

@@ -518,14 +518,15 @@ def init_clip_params(rng: jax.Array, cfg: CLIPConfig) -> Params:
             "ln_post": {"g": jnp.ones(wv), "b": jnp.zeros(wv)},
             "proj": jax.random.normal(k4, (wv, cfg.embed_dim)) * sv,
         }
+    kt1, kt2, kt3 = jax.random.split(kt, 3)
     return {
         "visual": visual,
         "text": {
             "token_embedding": jax.random.normal(k5, (cfg.vocab_size, wt)) * 0.02,
-            "positional_embedding": jax.random.normal(kt, (cfg.context_length, wt)) * 0.01,
-            "blocks": _init_blocks(kt, cfg.text),
+            "positional_embedding": jax.random.normal(kt1, (cfg.context_length, wt)) * 0.01,
+            "blocks": _init_blocks(kt2, cfg.text),
             "ln_final": {"g": jnp.ones(wt), "b": jnp.zeros(wt)},
-            "text_projection": jax.random.normal(kt, (wt, cfg.embed_dim)) * st,
+            "text_projection": jax.random.normal(kt3, (wt, cfg.embed_dim)) * st,
         },
         "logit_scale": jnp.asarray(jnp.log(1 / 0.07), jnp.float32),
     }

@@ -214,8 +214,17 @@ class HashTokenizer:
 def get_tokenizer(
     bpe_path: Optional[str] = None, context_length: int = 77
 ) -> Union[SimpleTokenizer, HashTokenizer]:
-    """SimpleTokenizer when a merges file is available, HashTokenizer otherwise."""
+    """SimpleTokenizer when a merges file is available, HashTokenizer
+    otherwise. An EXPLICIT bpe_path that doesn't resolve is an error —
+    silently hashing tokens against pretrained weights would return
+    near-chance eval numbers with no hint why."""
     try:
         return SimpleTokenizer(bpe_path, context_length)
     except FileNotFoundError:
+        explicit = bpe_path or os.environ.get("CLIP_BPE_PATH", "")
+        if explicit:
+            raise FileNotFoundError(
+                f"BPE merges file not found at {explicit!r}; fix the path "
+                "(or unset it to use the test-only HashTokenizer)"
+            )
         return HashTokenizer(context_length=context_length)

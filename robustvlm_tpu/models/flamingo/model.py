@@ -197,7 +197,7 @@ def encode_vision(
     (threat-model contract; reference of_eval_model_adv.py:173)."""
     b, t, f = vision_x.shape[:3]
     x = vision_x.reshape(b * t * f, *vision_x.shape[3:])
-    if x.shape[-1] != cfg.vision.image_size:
+    if x.shape[-2:] != (cfg.vision.image_size, cfg.vision.image_size):
         x = resize_bicubic(x, cfg.vision.image_size)
     tokens = vision_forward(
         {"visual": params["vision"]}, normalize_clip(x), cfg.vision,
@@ -228,6 +228,14 @@ def flamingo_forward(
             params, vision_x, cfg, compute_dtype=compute_dtype, remat=remat
         )
     if media_locations is None:
+        if cfg.media_token_id < 0:
+            # the default -1 (pre-tokenizer-extension) matches no token:
+            # all cross-attention would silently zero and the model would
+            # caption from the LM prior while ignoring the images
+            raise ValueError(
+                "cfg.media_token_id is unset (<0); dataclasses.replace the "
+                "config with the tokenizer's <image> id before the forward"
+            )
         media_locations = lang_x == cfg.media_token_id
 
     xattn = params["xattn"]
@@ -284,6 +292,11 @@ def make_flamingo_decode_fns(
     """(prefill_fn, decode_fn) for models/generation.py. Media latents are
     computed once and cached (reference condition_media/cached-media
     generation path, flamingo.py:365-388, flamingo_lm.py:128-157)."""
+    if cfg.media_token_id < 0:
+        raise ValueError(
+            "cfg.media_token_id is unset (<0); dataclasses.replace the "
+            "config with the tokenizer's <image> id before decoding"
+        )
     media = encode_vision(params, vision_x, cfg, compute_dtype=compute_dtype)
     every = cfg.cross_attn_every_n_layers
     xattn = params["xattn"]
@@ -323,6 +336,17 @@ def make_flamingo_decode_fns(
             layer_hook=make_hook(media_r, media_locations, use_cached=True),
         )
         return logits, (cache, media_locations)
+
+    def reorder_carry(carry, gather):
+        # beam search: cache leaves are (L, B, H, N, hd) — batch on axis 1;
+        # media_locations is (B, T) — batch on axis 0
+        cache, media_locations = carry
+        return (
+            jax.tree.map(lambda a: jnp.take(a, gather, axis=1), cache),
+            jnp.take(media_locations, gather, axis=0),
+        )
+
+    prefill_fn.reorder_carry = reorder_carry
 
     return prefill_fn, decode_fn
 

@@ -103,9 +103,21 @@ def beam_generate(
 ) -> GenerateResult:
     """Batched beam search with HF-style length penalty
     (score = logp / len**length_penalty). Cache rows are physically
-    reordered each step with jnp.take — B*num_beams cache rows total."""
+    reordered each step with jnp.take — B*num_beams cache rows total.
+
+    Carry reordering: by default every carry leaf is assumed (L, B, ...)
+    with batch on axis 1 (the llama/mpt cache layout). Decode-fn families
+    whose carry holds extra batch-axis-0 state (Flamingo media_locations,
+    LLaVA-MPT kv position tables) attach a `reorder_carry(carry, gather)`
+    attribute to their prefill_fn."""
     b, t = prompt_tokens.shape
     nb = num_beams
+    reorder = getattr(
+        prefill_fn, "reorder_carry",
+        lambda carry, gather: jax.tree.map(
+            lambda a: jnp.take(a, gather, axis=1), carry
+        ),
+    )
 
     def rep(x):  # (B, ...) -> (B*nb, ...)
         return jnp.repeat(x, nb, axis=0)
@@ -143,7 +155,7 @@ def beam_generate(
         tok = (top_idx % v).astype(jnp.int32)               # (B, nb)
         gather = (jnp.arange(b)[:, None] * nb + src_beam).reshape(-1)
 
-        cache = jax.tree.map(lambda a: jnp.take(a, gather, axis=1), cache)
+        cache = reorder(cache, gather)
         kv_mask = jnp.take(kv_mask, gather, axis=0)
         out_toks = jnp.take(out_toks, gather, axis=0)
         done = jnp.take(done, gather, axis=0)

@@ -272,7 +272,7 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None,
 
 def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
     """Random init for tests; real use imports HF checkpoints."""
-    ks = jax.random.split(rng, 8)
+    ks = jax.random.split(rng, 9)
     s = cfg.dim ** -0.5
     l = cfg.n_layers
 
@@ -297,5 +297,5 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Pa
             },
         },
         "norm": jnp.ones((cfg.dim,), dtype),
-        "lm_head": nrm(ks[0], (cfg.dim, cfg.vocab_size), s),
+        "lm_head": nrm(ks[8], (cfg.dim, cfg.vocab_size), s),
     }

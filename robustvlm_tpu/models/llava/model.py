@@ -103,7 +103,7 @@ def encode_images(
     features. CLIP normalization + resize live INSIDE (threat-model
     contract); CLS dropped (feature_select 'patch')."""
     x = pixels01
-    if x.shape[-1] != cfg.vision.image_size:
+    if x.shape[-2:] != (cfg.vision.image_size, cfg.vision.image_size):
         x = resize_bicubic(x, cfg.vision.image_size)
     feats = vision_forward(
         {"visual": params["vision"]}, normalize_clip(x), cfg.vision,
@@ -215,6 +215,12 @@ def make_llava_decode_fns(
 
     img = encode_images(params, pixels01, cfg, compute_dtype=compute_dtype)
     t_prefix = pre_tokens.shape[1] + cfg.n_image_tokens  # static
+    # MPT's ALiBi bias depends on token DISTANCES; the splice places the
+    # generation left-padding MID-sequence (between [pre|image] and the
+    # post tokens), so slot distances overstate true distances by n_pad.
+    # Carry a per-slot true-position table and thread it to the attention
+    # (llama's RoPE takes explicit positions already and needs none).
+    use_kvpos = cfg.lm_family == "mpt"
 
     def prefill_fn(tokens, kv_valid, positions):
         # tokens here are the POST tokens; full prompt = pre + image + post
@@ -243,24 +249,57 @@ def make_llava_decode_fns(
                 cfg.mpt, b, max_len=t_prefix + max_total_len,
                 dtype=compute_dtype,
             )
+        kw = {}
+        if use_kvpos:
+            fill = jnp.zeros(
+                (b, max_total_len - tokens.shape[1]), jnp.int32
+            )
+            kv_pos = jnp.concatenate(
+                [pos_full.astype(jnp.int32), fill], axis=1
+            )
+            kw["kv_positions"] = kv_pos
         logits, cache = _lm_forward(
             params, cfg, inputs_embeds=embeds,
             positions=pos_full, compute_dtype=compute_dtype,
-            cache=cache, cache_pos=0, kv_mask=kv_valid_full,
+            cache=cache, cache_pos=0, kv_mask=kv_valid_full, **kw,
         )
+        if use_kvpos:
+            return logits[:, -1], (cache, kv_pos)
         return logits[:, -1], cache
 
-    def decode_fn(tok, cache, pos, kv_mask, qpos):
+    def decode_fn(tok, carry, pos, kv_mask, qpos):
         b = tok.shape[0]
         kv_mask_full = jnp.concatenate(
             [jnp.ones((b, t_prefix), bool), kv_mask], axis=1
         )
+        kw = {}
+        if use_kvpos:
+            cache, kv_pos = carry
+            kv_pos = jax.lax.dynamic_update_slice(
+                kv_pos, (t_prefix + qpos).astype(jnp.int32),
+                (0, t_prefix + pos),
+            )
+            kw["kv_positions"] = kv_pos
+        else:
+            cache = carry
         logits, cache = _lm_forward(
             params, cfg, tokens=tok,
             positions=t_prefix + qpos, compute_dtype=compute_dtype,
-            cache=cache, cache_pos=t_prefix + pos, kv_mask=kv_mask_full,
+            cache=cache, cache_pos=t_prefix + pos, kv_mask=kv_mask_full, **kw,
         )
+        if use_kvpos:
+            return logits, (cache, kv_pos)
         return logits, cache
+
+    if use_kvpos:
+        def reorder_carry(carry, gather):
+            cache, kv_pos = carry
+            return (
+                jax.tree.map(lambda a: jnp.take(a, gather, axis=1), cache),
+                jnp.take(kv_pos, gather, axis=0),
+            )
+
+        prefill_fn.reorder_carry = reorder_carry
 
     return prefill_fn, decode_fn
 

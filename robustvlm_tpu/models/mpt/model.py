@@ -74,18 +74,24 @@ def layer_norm(x, g, b, eps):
     return y.astype(x.dtype)
 
 
-def _attn_xla(q, k, v, slopes, *, q_positions, kv_mask):
+def _attn_xla(q, k, v, slopes, *, q_positions, kv_mask, kv_positions=None):
     """ALiBi causal attention, XLA path. q (B,H,Tq,hd), k/v (B,H,Tk,hd);
-    q_positions (Tq,) or (B,Tq) true positions; bias -slope*(i-j)."""
+    q_positions (Tq,) or (B,Tq) true positions; bias -slope*(i-j).
+    kv_positions (B,Tk): true positions of the key slots — required when
+    padding sits MID-sequence (the LLaVA [pre|image|left-padded post]
+    splice), where slot distance overstates token distance by n_pad."""
     scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
     tq, tk = q.shape[2], k.shape[2]
-    jj = jnp.arange(tk)
+    if kv_positions is None:
+        jj = jnp.arange(tk)[None, None, :]
+    else:
+        jj = kv_positions[:, None, :]
     if q_positions.ndim == 1:
         qpos = q_positions[None]  # (1, Tq)
     else:
         qpos = q_positions
-    rel = qpos[:, :, None] - jj[None, None, :]          # (B?, Tq, Tk) = i - j
+    rel = qpos[:, :, None] - jj                         # (B?, Tq, Tk) = i - j
     bias = -slopes[None, :, None, None] * rel[:, None].astype(jnp.float32)
     s = s + bias
     mask = rel >= 0  # causal on true positions
@@ -97,7 +103,7 @@ def _attn_xla(q, k, v, slopes, *, q_positions, kv_mask):
 
 
 def _block(x, bp, cfg: MPTConfig, slopes, *, flash, cache=None, pos=None,
-           kv_mask=None, positions=None):
+           kv_mask=None, positions=None, kv_positions=None):
     b, t, d = x.shape
     cd = x.dtype
     W = lambda a: a.astype(cd)
@@ -122,10 +128,22 @@ def _block(x, bp, cfg: MPTConfig, slopes, *, flash, cache=None, pos=None,
             cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
         )
         new_cache = {"k": ck, "v": cv}
-        # cache slots indexed by slot; causal mask needs slot positions
-        slot_q = pos + jnp.arange(t)
-        att = _attn_xla(q, ck, cv, slopes, q_positions=slot_q, kv_mask=kv_mask)
-    elif flash:
+        if kv_positions is not None:
+            # true token positions for q and k: exact ALiBi distances even
+            # with mid-sequence padding (LLaVA splice)
+            att = _attn_xla(
+                q, ck, cv, slopes,
+                q_positions=(positions if positions is not None
+                             else pos + jnp.arange(t)),
+                kv_mask=kv_mask, kv_positions=kv_positions,
+            )
+        else:
+            # uniform left-pad: slot distances == token distances
+            slot_q = pos + jnp.arange(t)
+            att = _attn_xla(q, ck, cv, slopes, q_positions=slot_q, kv_mask=kv_mask)
+    elif flash and kv_mask is None and positions is None:
+        # the fused kernel encodes plain 0..T-1 causality only — with a
+        # kv_mask or shifted positions fall through to the masked XLA path
         from robustvlm_tpu.ops.pallas.flash_attention import flash_attention
 
         att = flash_attention(q, k, v, causal=True, alibi_slopes=jnp.asarray(slopes))
@@ -165,6 +183,7 @@ def mpt_forward(
     cache_pos=None,
     kv_mask: Optional[jax.Array] = None,
     positions: Optional[jax.Array] = None,
+    kv_positions: Optional[jax.Array] = None,
     layer_hook=None,
     return_hidden: bool = False,
 ):
@@ -203,6 +222,7 @@ def mpt_forward(
                 out, nc = _block(
                     h, bp, cfg, slopes, flash=False, cache=c, pos=cache_pos,
                     kv_mask=kv_mask, positions=positions,
+                    kv_positions=kv_positions,
                 )
                 return out, nc
 
@@ -216,6 +236,7 @@ def mpt_forward(
                 x, nc = _block(
                     x, bp, cfg, slopes, flash=False, cache=ci, pos=cache_pos,
                     kv_mask=kv_mask, positions=positions,
+                    kv_positions=kv_positions,
                 )
                 ncs.append(nc)
             new_cache = jax.tree.map(lambda *a: jnp.stack(a), *ncs)

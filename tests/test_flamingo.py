@@ -213,3 +213,26 @@ class TestFlamingoGeneration:
             )
             manual.append(int(jnp.argmax(logits[0, -1])))
         assert list(np.asarray(res.tokens[0])) == manual[len(seq):]
+
+
+class TestFlamingoBeam:
+    def test_beam_generation_runs(self):
+        """Regression: beam search reorders the (cache, media_locations)
+        carry — the default axis-1 gather corrupted media_locations
+        (batch is on axis 0 there) and crashed the scan."""
+        from robustvlm_tpu.models.generation import beam_generate
+
+        params = _gated_params()
+        cfg = FCFG.__class__(**{**FCFG.__dict__, "media_token_id": 500})
+        rng = np.random.RandomState(5)
+        vx = jnp.asarray(rng.rand(2, 1, 1, 3, 32, 32).astype(np.float32))
+        toks, n_pad = left_pad([[500, 5, 6, 7], [500, 9, 11]])
+        pf, df = make_flamingo_decode_fns(
+            params, cfg, vx, max_total_len=12, compute_dtype=jnp.float32
+        )
+        res = beam_generate(
+            pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+            max_new_tokens=3, eos_id=-1, num_beams=2,
+        )
+        assert res.tokens.shape == (2, 3)
+        assert np.all(np.isfinite(np.asarray(res.scores)))

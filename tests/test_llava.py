@@ -239,6 +239,59 @@ class TestLlavaMpt:
             np.asarray(last), np.asarray(full[:, -1]), atol=2e-4, rtol=2e-3
         )
 
+    def test_generation_invariant_to_batch_padding(self, setup):
+        """Regression (ALiBi + mid-sequence padding): a short prompt's
+        greedy generation must be identical whether it is batched with a
+        longer prompt (left-padded) or run alone — slot-distance ALiBi
+        inflated image/prefix distances by n_pad for padded rows."""
+        from robustvlm_tpu.models.generation import greedy_generate, left_pad
+        from robustvlm_tpu.models.llava.model import make_llava_decode_fns
+
+        cfg, params = setup
+        rng = np.random.RandomState(3)
+        x1 = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+        short = list(rng.randint(3, 100, 4))
+        long = list(rng.randint(3, 100, 9))
+
+        def gen(x, seqs, max_total):
+            toks, n_pad = left_pad(seqs, 0)
+            pf, df = make_llava_decode_fns(
+                params, cfg, x, jnp.asarray([[5, 6, 7]] * x.shape[0]),
+                max_total_len=max_total, compute_dtype=jnp.float32,
+            )
+            return greedy_generate(
+                pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+                max_new_tokens=5, eos_id=2, pad_id=0,
+            ).tokens
+
+        solo = np.asarray(gen(x1, [short], 16))[0]
+        batched = np.asarray(
+            gen(jnp.concatenate([x1, x1]), [short, long], 16)
+        )[0]
+        np.testing.assert_array_equal(solo, batched)
+
+    def test_beam_generation_runs(self, setup):
+        """Beam search over the MPT-family carry (cache + kv position
+        table) — exercises the reorder_carry protocol."""
+        from robustvlm_tpu.models.generation import beam_generate, left_pad
+        from robustvlm_tpu.models.llava.model import make_llava_decode_fns
+
+        cfg, params = setup
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32))
+        seqs = [list(rng.randint(3, 100, 4)), list(rng.randint(3, 100, 6))]
+        toks, n_pad = left_pad(seqs, 0)
+        pf, df = make_llava_decode_fns(
+            params, cfg, x, jnp.asarray([[5, 6, 7]] * 2),
+            max_total_len=12, compute_dtype=jnp.float32,
+        )
+        res = beam_generate(
+            pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+            max_new_tokens=4, eos_id=2, num_beams=2, pad_id=0,
+        )
+        assert res.tokens.shape == (2, 4)
+        assert np.all(np.isfinite(np.asarray(res.scores)))
+
 
 class TestLlavaMptImport:
     def test_llava_mpt_state_dict_roundtrip(self):
