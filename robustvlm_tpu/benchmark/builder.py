@@ -67,8 +67,19 @@ def resolve_wds_dirs(data_dir: str) -> Tuple[str, str]:
             + "/tree/main"
         )
     if data_dir.startswith("https://huggingface.co/datasets"):
-        *head, _tree, branch_path = data_dir.split("/", 7)
-        url_head = "/".join(head)
+        parts = data_dir.rstrip("/").split("/", 7)
+        # .../datasets/<org>/<repo>[/tree/<branch>[/subpath]]
+        if len(parts) >= 8 and parts[6] == "tree":
+            url_head = "/".join(parts[:6])
+            branch_path = parts[7]
+        elif len(parts) == 6:
+            url_head = "/".join(parts)  # plain repo URL — default branch
+            branch_path = "main"
+        else:
+            raise ValueError(
+                f"unrecognized HF datasets URL {data_dir!r}; expected "
+                "https://huggingface.co/datasets/<org>/<repo>[/tree/<branch>]"
+            )
         return (
             "/".join([url_head, "raw", branch_path]),
             "/".join([url_head, "resolve", branch_path]),
@@ -250,6 +261,23 @@ class WdsDataset:
         return WdsBatchedLoader(self.samples, batch_size)
 
 
+def _truncate_batches(it, n_samples: Optional[int]):
+    """Cap a batched (x, y) iterator at n_samples total examples."""
+    if n_samples is None:
+        return it
+
+    def gen():
+        seen = 0
+        for xb, yb in it:
+            if seen >= n_samples:
+                return
+            keep = min(len(xb), n_samples - seen)
+            seen += keep
+            yield xb[:keep], yb[:keep]
+
+    return gen()
+
+
 def build_dataset(
     name: str,
     root: str,
@@ -275,20 +303,23 @@ def build_dataset(
     if name in ("imagenet", "imagefolder", "imagenet1k"):
         sub = {"test": "val", "train": "train"}.get(split, split)
         ds = ImageFolderDataset(f"{root}/{sub}", size=size)
-        return DataLoader(ds, batch_size, shuffle=False, drop_last=False)
+        return _truncate_batches(
+            DataLoader(ds, batch_size, shuffle=False, drop_last=False),
+            n_samples,
+        )
     if name.startswith("wds/"):
         # reference-layout root (has <split>/nshards.txt) streams via
         # WdsDataset; a flat local dir of .tar shards keeps working
         if _is_url(root):
-            return WdsDataset(root, split=split, size=size).batched(batch_size)
-        if Path(root, split, "nshards.txt").exists():
-            return WdsDataset(root, split=split, size=size).batched(batch_size)
-        shards = sorted(Path(root).glob("*.tar"))
-        if not shards:
-            raise FileNotFoundError(f"no .tar shards under {root}")
-        return WdsBatchedLoader(
-            WdsShardDataset(shards, size=size), batch_size
-        )
+            it = WdsDataset(root, split=split, size=size).batched(batch_size)
+        elif Path(root, split, "nshards.txt").exists():
+            it = WdsDataset(root, split=split, size=size).batched(batch_size)
+        else:
+            shards = sorted(Path(root).glob("*.tar"))
+            if not shards:
+                raise FileNotFoundError(f"no .tar shards under {root}")
+            it = WdsBatchedLoader(WdsShardDataset(shards, size=size), batch_size)
+        return _truncate_batches(it, n_samples)
     if name.startswith("tfds/"):
         from robustvlm_tpu.benchmark.tfds_adapter import build_tfds_dataset
 

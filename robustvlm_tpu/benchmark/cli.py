@@ -221,7 +221,9 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
             args.dataset_root, args.retrieval_annotations, size=size,
             n_samples=args.n_samples,
         )
-        image_fn = jax.jit(make_embedding_fn(params, cfg, output_normalize=True))
+        # make_embedding_fn jits internally with params as arguments —
+        # wrapping it in jax.jit here would bake the tree as HLO constants
+        image_fn = make_embedding_fn(params, cfg, output_normalize=True)
         text_fn = jax.jit(
             lambda p, t: encode_text(p, t, cfg, normalize=True)
         )
@@ -255,8 +257,14 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
             dataset, args.dataset_root, split="train", size=size,
             batch_size=args.batch_size, n_samples=args.n_samples,
         )
-        classnames = templates.get_classnames(dataset if dataset != "synthetic" else "cifar10")
-        embed_fn = jax.jit(make_embedding_fn(params, cfg, output_normalize=True))
+        bare_lp = dataset.split("/", 1)[1] if dataset.startswith(
+            ("wds/", "tfds/", "vtab/")
+        ) else dataset
+        bare_lp = bare_lp.split("/")[-1] if bare_lp.startswith("vtab/") else bare_lp
+        classnames = templates.get_classnames(
+            bare_lp if dataset != "synthetic" else "cifar10"
+        )
+        embed_fn = make_embedding_fn(params, cfg, output_normalize=True)
         metrics = evaluate_linear_probe(
             embed_fn, train_data, data, n_classes=len(classnames)
         )
@@ -280,21 +288,48 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     models = _expand(args.model)
     pretrained = _expand(args.pretrained) if args.pretrained else [""] * len(models)
+    if len(pretrained) == 1 and len(models) > 1:
+        pretrained = pretrained * len(models)  # one checkpoint, many archs
+    if len(pretrained) != len(models):
+        raise ValueError(
+            f"--model has {len(models)} entries but --pretrained has "
+            f"{len(pretrained)}; they pair positionally (a single "
+            "--pretrained broadcasts)"
+        )
     datasets = _expand(args.dataset)
     languages = _expand(args.language) or ["en"]
+
+    def out_path(m, pt, ds, lang):
+        stem = args.output.format(
+            model=m, dataset=ds.replace("/", "_"), task=args.task,
+            language=lang, pretrained=Path(pt).stem if pt else "random",
+        )
+        if len(languages) > 1 and "{language}" not in args.output:
+            # language tag goes on the FILENAME, not the directory part
+            p = Path(stem)
+            return p.with_name(f"{lang}_{p.name}")
+        return Path(stem)
+
+    # distinct runs must not clobber each other's results file
+    all_paths = [
+        out_path(m, pt, ds, lang)
+        for (m, pt), ds, lang in itertools.product(
+            zip(models, pretrained), datasets, languages
+        )
+    ]
+    if len(set(map(str, all_paths))) != len(all_paths):
+        raise ValueError(
+            "--output template maps multiple runs to the same file "
+            "(same model, different checkpoints?); add {pretrained} to it"
+        )
+
     results = []
     for (m, pt), ds, lang in itertools.product(
         zip(models, pretrained), datasets, languages
     ):
         res = run_one(args, m, pt, ds, language=lang)
         results.append(res)
-        stem = args.output.format(
-            model=m, dataset=ds.replace("/", "_"), task=args.task,
-            language=lang,
-        )
-        if len(languages) > 1 and "{language}" not in args.output:
-            stem = f"{lang}_{stem}"
-        out = Path(stem)
+        out = out_path(m, pt, ds, lang)
         out.parent.mkdir(parents=True, exist_ok=True)
         out.write_text(json.dumps(res, indent=2))
         print(json.dumps(res))

@@ -111,6 +111,20 @@ def run_classification(
 
     logits_clean = np.concatenate(logits_clean)
     y = np.concatenate(ys)
+    if y.ndim == 2:
+        # (N, C) multi-hot labels (e.g. voc2007_multilabel): macro mAP is
+        # THE metric (reference zeroshot_classification.py:184-222)
+        metrics = {
+            "mean_average_precision": multilabel_average_precision(
+                logits_clean, y
+            ),
+        }
+        if attack is not None:
+            raise NotImplementedError(
+                "adversarial evaluation of multilabel datasets is not "
+                "supported (the reference cascade needs int labels)"
+            )
+        return metrics
     acc1, acc5 = accuracy_topk(logits_clean, y)
     metrics = {
         "acc1": acc1,

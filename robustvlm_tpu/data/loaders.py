@@ -166,20 +166,40 @@ class DataLoader:
         self.epoch += 1
         n_batches = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # abandoned iterators (e.g. a next(iter(loader)) eval probe) must
+        # release the producer: a blocked q.put would otherwise pin the
+        # thread plus `prefetch` decoded batches for the process lifetime
+        stop = threading.Event()
 
         def producer():
             for b in range(n_batches):
                 idxs = order[b * self.bs : (b + 1) * self.bs]
-                q.put(self._load_batch(idxs))
-            q.put(None)
+                item = self._load_batch(idxs)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.2)
+                    return
+                except queue.Full:
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
 
 
 class COCOFlickrDataset:

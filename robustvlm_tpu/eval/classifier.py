@@ -123,11 +123,16 @@ def make_embedding_fn(
     remat: bool = False,
 ):
     """fn(x01) -> (B, D) embedding — the ClipVisionModel wrapper (reference
-    adversarial_training_clip.py:246-257) used by FARE/TeCoA training."""
+    adversarial_training_clip.py:246-257) used by FARE/TeCoA training.
 
-    def fn(x):
+    Exposes the bound-model protocol (.pure/.bound_args) and jits with
+    params as ARGUMENTS — do NOT wrap the returned fn in jax.jit yourself:
+    that would bake the param tree into the program as HLO constants
+    (CLAUDE.md: hundred-MB programs, remote-compile rejections)."""
+
+    def pure(p, x):
         return encode_image(
-            params,
+            p,
             normalize_clip(x),
             cfg,
             normalize=output_normalize,
@@ -135,6 +140,13 @@ def make_embedding_fn(
             remat=remat,
         )
 
+    jitted = jax.jit(pure)
+
+    def fn(x):
+        return jitted(params, x)
+
+    fn.pure = pure
+    fn.bound_args = (params,)
     return fn
 
 

@@ -200,8 +200,10 @@ def main(args=None):
     meters = {k: AverageMeter(k) for k in ["loss", "cos_sim", "acc", "racc"]}
 
     step = args.start_step
+    start_step = step  # throughput counts only THIS process's steps
     epoch = 0
     t_start = time.time()
+    eval_iter = iter(loader_eval) if eval_step is not None else None
     while step < args.steps:
         for x_np, y_np in loader:
             x = jax.device_put(jnp.asarray(x_np), bsh)
@@ -217,12 +219,21 @@ def main(args=None):
                 for k in meters:
                     if k in m:
                         meters[k].update(m[k], x.shape[0])
-                m["imgs_per_sec"] = args.batch_size * step / (time.time() - t_start)
+                m["imgs_per_sec"] = (
+                    args.batch_size * (step - start_step)
+                    / max(time.time() - t_start, 1e-9)
+                )
                 logger.log(m, step=step)
                 print(f"[step] {step} " + " ".join(f"[{k}] {v:.4f}" for k, v in m.items()))
 
             if eval_step is not None and (step - 1) % args.eval_freq == 0:
-                xe, ye = next(iter(loader_eval))
+                # one persistent iterator: a fresh iter() per eval would
+                # spin up (and abandon) a prefetch producer every time
+                try:
+                    xe, ye = next(eval_iter)
+                except StopIteration:
+                    eval_iter = iter(loader_eval)
+                    xe, ye = next(eval_iter)
                 em = {k: float(v) for k, v in eval_step(
                     params, jax.device_put(jnp.asarray(xe), bsh),
                     jax.device_put(jnp.asarray(ye), batch_sharding(mesh, 1))).items()}
