@@ -100,7 +100,10 @@ def fused_linf_apgd_step(
       step_size: (B,) per-example step sizes.
       eps: scalar Linf radius.
       a: momentum blend (1.0 on the first iteration, 0.75 after); may be traced.
-      use_pallas: force/forbid the kernel; default = auto (TPU and aligned shapes).
+      use_pallas: force the kernel (True) or the jnp path (False). Default
+        None keeps the kernel OFF on hardware — measured slower than XLA's
+        fusion inside the attack scan on v5e (module docstring) — and only
+        auto-selects it under interpret=True for kernel tests.
     """
     b = x_adv.shape[0]
     f = 1

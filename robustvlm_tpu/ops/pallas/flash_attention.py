@@ -369,8 +369,18 @@ def flash_attention(
     """
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None:
-        interpret = not on_tpu
-    if force_reference or (not on_tpu and not interpret):
+        # non-TPU backends take the XLA reference; interpret-mode Pallas is
+        # orders of magnitude slower at model shapes and is for TESTS that
+        # pass interpret=True explicitly (same pattern as vit_attention.py)
+        interpret = False
+    if force_reference or not (on_tpu or interpret):
+        return attention_reference(
+            q, k, v, causal=causal, alibi_slopes=alibi_slopes
+        )
+    if causal and q.shape[2] != k.shape[2]:
+        # the kernels hardcode a zero query offset: the causal diagonal for
+        # nq != nk (decode-style queries against a longer KV) would mask
+        # every past key — route to the reference, which offsets by nk - nq
         return attention_reference(
             q, k, v, causal=causal, alibi_slopes=alibi_slopes
         )

@@ -122,10 +122,20 @@ _RULES: Tuple[Tuple[str, P], ...] = (
 def _spec_for(path: str, ndim: Optional[int] = None) -> P:
     for pat, spec in _RULES:
         if re.match(pat, path):
+            # specs anchor to TRAILING dims: extra leading axes (layer
+            # stacks, Q-Former group/sublayer axes) stay unsharded, and an
+            # UNSTACKED per-layer param drops the rule's leading entries
+            # (which must be None — a named axis can't silently vanish)
             if ndim is not None and ndim > len(spec):
-                # specs anchor to TRAILING dims: extra leading axes (layer
-                # stacks, Q-Former group/sublayer axes) stay unsharded
                 spec = P(*([None] * (ndim - len(spec)) + list(spec)))
+            elif ndim is not None and ndim < len(spec):
+                dropped = list(spec)[: len(spec) - ndim]
+                if any(d is not None for d in dropped):
+                    raise ValueError(
+                        f"sharding rule {spec} for {path!r} names axes "
+                        f"beyond the param's {ndim} dims"
+                    )
+                spec = P(*list(spec)[len(spec) - ndim:])
             return spec
     return P()  # replicate (layernorms, scalars, class embedding)
 
@@ -162,28 +172,29 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
-def shard_attack(attack_fn, mesh: Mesh, *, params_and_statics=()):
+def shard_attack(attack_fn, mesh: Mesh, *, params=None):
     """Data-parallel attack wrapper: shard (x, y) over the mesh's batch axes
     and run the jitted attack under those shardings — per-example APGD state
     (step sizes, best-tracking, loss history) lives with its example and
     shards with the batch (SURVEY.md §2.6: the reference's DataParallel
     scatter/gather disappears; XLA inserts any needed collectives).
 
-    attack_fn(x, y) -> pytree of per-example results (e.g. a lambda closing
-    over apgd_attack kwargs). Returns wrapped(x, y) that device_puts inputs
-    to the batch sharding and jits the attack once.
+    attack_fn signature: attack_fn(params, x, y) when `params` is given
+    (the tree rides as a jit ARGUMENT, replicated/sharded per the rule
+    table — never a closure constant, per the CLAUDE.md jit rule), else
+    attack_fn(x, y) for param-free callables. Returns wrapped(x, y).
     """
-    import jax
-
-    bsh_x = batch_sharding(mesh)
     bsh_y = batch_sharding(mesh, 1)
     jitted = jax.jit(attack_fn)
+    if params is not None:
+        params = shard_params(params, mesh)
 
     def wrapped(x, y=None):
-        x = jax.device_put(x, NamedSharding(mesh, P(("data", "fsdp"), *([None] * (x.ndim - 1)))))
+        x = jax.device_put(x, batch_sharding(mesh, x.ndim))
+        lead = (params,) if params is not None else ()
         if y is not None:
             y = jax.device_put(y, bsh_y)
-            return jitted(x, y)
-        return jitted(x)
+            return jitted(*lead, x, y)
+        return jitted(*lead, x)
 
     return wrapped

@@ -45,10 +45,13 @@ class Controller:
 
     def register_worker(self, name: str, check_heart_beat: bool,
                         status: Optional[dict]) -> bool:
+        # the status fetch is a blocking HTTP call (up to 5 s) — do it
+        # OUTSIDE the lock or an unreachable worker freezes every other
+        # request thread for the duration
+        status = status or self._request_status(name)
+        if status is None:
+            return False
         with self.lock:
-            status = status or self._request_status(name)
-            if status is None:
-                return False
             self.workers[name] = WorkerInfo(
                 model_names=status["model_names"],
                 speed=status.get("speed", 1.0),
@@ -99,6 +102,10 @@ class Controller:
                     self.workers[n].queue_length = status.get("queue_length", 0)
 
     def list_models(self) -> List[str]:
+        # dead workers must not be advertised (the reference runs a
+        # dedicated expiry thread; serve() starts one, and expiring here
+        # keeps direct Controller users correct too)
+        self.expire_stale()
         with self.lock:
             out = []
             for w in self.workers.values():
@@ -210,6 +217,15 @@ def serve(host: str = "0.0.0.0", port: int = 21001,
     controller = Controller(dispatch_method)
     server = ThreadingHTTPServer((host, port), make_handler(controller))
     server.controller = controller
+
+    # background heartbeat expiry (reference llava/serve/controller.py
+    # heart_beat_controller thread)
+    def expiry_loop():
+        while True:
+            time.sleep(HEARTBEAT_EXPIRY / 2)
+            controller.expire_stale()
+
+    threading.Thread(target=expiry_loop, daemon=True).start()
     return server
 
 

@@ -100,7 +100,21 @@ class ModelWorker:
             with Image.open(io.BytesIO(raw)) as img:
                 return default_image_transform(self.image_size)(img)
         arr = np.asarray(payload["image"], np.float32)
-        return arr
+        # keep the raw-array path consistent with the b64 path: same
+        # resolution (and the [0,1] threat-model contract) either way
+        if arr.ndim != 3 or arr.shape[0] != 3:
+            raise ValueError(
+                f"'image' must be (3, H, W) floats in [0,1]; got {arr.shape}"
+            )
+        if arr.shape[1:] != (self.image_size, self.image_size):
+            import jax.numpy as jnp
+
+            from robustvlm_tpu.ops.image import resize_bicubic
+
+            arr = np.asarray(
+                resize_bicubic(jnp.asarray(arr)[None], self.image_size)[0]
+            )
+        return np.clip(arr, 0.0, 1.0)
 
     def generate(self, payload: dict) -> dict:
         import jax.numpy as jnp

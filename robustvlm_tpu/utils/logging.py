@@ -74,19 +74,6 @@ def _to_py(v):
 
 
 class Logger:
-    """Tee print logger (reference autoattack/other_utils.py:6-14)."""
-
-    def __init__(self, log_path: Optional[str] = None):
-        self.log_path = log_path
-
-    def log(self, msg: str):
-        print(msg)
-        if self.log_path is not None:
-            with open(self.log_path, "a") as f:
-                f.write(str(msg) + "\n")
-
-
-class Logger:
     """Tee logger: print to stdout and append to a file (reference
     autoattack/other_utils.py:6-14)."""
 

@@ -133,6 +133,21 @@ class TestShardedAttack:
             np.asarray(single), np.asarray(sharded), atol=2e-5
         )
 
+        # params-as-jit-argument form (the production shape: the tree is a
+        # runtime operand, never a closure constant)
+        def attack_p(w, xx, yy):
+            fn_w = lambda t: t.reshape(t.shape[0], -1) @ w
+            return apgd_attack(
+                fn_w, xx, yy,
+                criterion=lambda o, t: ce_loss(o, t, reduction="none"),
+                eps=8 / 255, n_iter=8, norm="linf",
+            ).x_best_adv
+
+        sharded_p = shard_attack(attack_p, mesh, params=W)(x, y)
+        np.testing.assert_allclose(
+            np.asarray(single), np.asarray(sharded_p), atol=2e-5
+        )
+
 
 def _sharded_fraction(params, mesh):
     """Fraction of tree bytes whose sharding is non-replicated."""
