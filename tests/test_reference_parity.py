@@ -240,3 +240,116 @@ class TestFullCascadeParity:
         assert float(np.abs(adv - x).max()) <= eps + 1e-5
         assert 0.1 < racc_ref < 0.9  # discriminating regime
         assert abs(racc - racc_ref) <= 0.1, (racc, racc_ref)
+
+
+class TestFabParity:
+    def test_fab_linf_strength_matches_reference(self):
+        import torch
+
+        from robustvlm_tpu.attacks.fab import fab_attack
+
+        from autoattack.fab_pt import FABAttack_PT
+
+        W, x, y = _problem(seed=3, scale=0.02, hw=16)
+        eps = 24 / 255
+
+        model = _torch_model(W)
+        ref = FABAttack_PT(
+            model, n_iter=20, norm="Linf", eps=eps, n_restarts=1,
+            seed=0, verbose=False, device="cpu",
+        )
+        xt = torch.from_numpy(x)
+        yt = torch.from_numpy(y.astype(np.int64))
+        adv_ref = ref.perturb(xt, yt)
+        with torch.no_grad():
+            racc_ref = float((model(adv_ref).argmax(1) == yt).float().mean())
+
+        def fn(t):
+            return t.reshape(t.shape[0], -1) @ jnp.asarray(W)
+
+        res = fab_attack(
+            fn, jnp.asarray(x), jnp.asarray(y), norm="linf", n_iter=20,
+            n_restarts=1, eps=eps, rng=jax.random.PRNGKey(0),
+        )
+        adv = np.asarray(res.x_adv)
+        racc = float(
+            np.mean(np.argmax(adv.reshape(len(x), -1) @ W, -1) == y)
+        )
+        assert float(np.abs(adv - x).max()) <= eps + 1e-5
+        assert abs(racc - racc_ref) <= 0.25, (racc, racc_ref)
+
+
+class TestVlmApgdParity:
+    def test_scalar_loss_protocol_matches_reference(self):
+        """The VLM attack protocol — model(x) -> per-sample loss to
+        MAXIMIZE, batch 1 — against the reference vlm_eval APGD on the
+        same loss surface: the achieved best losses must agree."""
+        import torch
+
+        from robustvlm_tpu.attacks.apgd import apgd_attack
+
+        from vlm_eval.attacks.apgd import apgd as ref_apgd
+
+        rng = np.random.RandomState(4)
+        target = rng.rand(1, 3, 8, 8).astype(np.float32)
+        x = rng.rand(1, 3, 8, 8).astype(np.float32)
+        eps = 8 / 255
+
+        tt = torch.from_numpy(target)
+
+        class LossModel(torch.nn.Module):
+            def forward(self, t):
+                return ((t - tt) ** 2).sum(dim=(1, 2, 3))
+
+        adv_ref = ref_apgd(
+            LossModel().eval(), torch.from_numpy(x), norm="linf", eps=eps,
+            n_iter=40, is_train=False,
+        )
+        if isinstance(adv_ref, (tuple, list)):
+            adv_ref = adv_ref[0]
+        loss_ref = float(((adv_ref - tt) ** 2).sum())
+
+        jt = jnp.asarray(target)
+
+        def model_fn(t):
+            return jnp.sum((t - jt) ** 2, axis=(1, 2, 3))
+
+        res = apgd_attack(
+            model_fn, jnp.asarray(x), None, criterion=lambda o, y: o,
+            eps=eps, n_iter=40, norm="linf",
+        )
+        loss_ours = float(res.loss_best[0])
+        assert float(jnp.max(jnp.abs(res.x_best - x))) <= eps + 1e-6
+        # both maximize the same concave-free quadratic inside the ball;
+        # achieved losses must agree to ~1%
+        assert abs(loss_ours - loss_ref) / max(loss_ref, 1e-9) < 0.01, (
+            loss_ours, loss_ref,
+        )
+
+
+class TestVqaNormalizationParity:
+    def test_normalization_matches_reference_vqaeval(self):
+        import importlib.util
+
+        from robustvlm_tpu.vlm_eval.metrics.vqa_accuracy import (
+            normalize_answer,
+        )
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_vqa_metric",
+            str(REF / "open_flamingo/eval/vqa_metric.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        ev = mod.VQAEval(None, None)
+
+        cases = [
+            "it's a cat!", "twenty two", "a apple", "no-one; here",
+            "4:30 pm", "COLOR?", "an orange,a pear", "one hundred",
+            "don't know", "yes.", "10,000 dollars", "the a an",
+            "semi-colon;test", "what: ever", "none",
+        ]
+        # the reference applies punctuation strip then digit/article map
+        for c in cases:
+            ref_norm = ev.processDigitArticle(ev.processPunctuation(c))
+            assert normalize_answer(c) == ref_norm, (c, normalize_answer(c), ref_norm)
