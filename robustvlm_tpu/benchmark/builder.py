@@ -269,11 +269,11 @@ def _truncate_batches(it, n_samples: Optional[int]):
     def gen():
         seen = 0
         for xb, yb in it:
-            if seen >= n_samples:
-                return
             keep = min(len(xb), n_samples - seen)
             seen += keep
             yield xb[:keep], yb[:keep]
+            if seen >= n_samples:
+                return  # before the loop decodes one extra batch
 
     return gen()
 

@@ -72,6 +72,15 @@ def build_parser():
     return p
 
 
+def _bare_dataset_name(dataset: str) -> str:
+    """Strip wds/tfds/vtab namespace prefixes: classname/template tables
+    are keyed on the bare dataset name."""
+    bare = dataset.split("/", 1)[1] if dataset.startswith(
+        ("wds/", "tfds/", "vtab/")
+    ) else dataset
+    return bare.split("/")[-1] if bare.startswith("vtab/") else bare
+
+
 def run_one(args, model_name: str, pretrained: str, dataset: str,
             language: str = "en") -> dict:
     from robustvlm_tpu.benchmark import builder, templates, zeroshot
@@ -176,10 +185,7 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
         else:
             data = classification_data()
         # classname/template tables are keyed on the bare dataset name
-        bare = dataset.split("/", 1)[1] if dataset.startswith(
-            ("wds/", "tfds/", "vtab/")
-        ) else dataset
-        bare = bare.split("/")[-1] if bare.startswith("vtab/") else bare
+        bare = _bare_dataset_name(dataset)
         classnames = wds_classes or templates.get_classnames(
             bare if dataset != "synthetic" else "cifar10",
             language=language,
@@ -257,12 +263,8 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
             dataset, args.dataset_root, split="train", size=size,
             batch_size=args.batch_size, n_samples=args.n_samples,
         )
-        bare_lp = dataset.split("/", 1)[1] if dataset.startswith(
-            ("wds/", "tfds/", "vtab/")
-        ) else dataset
-        bare_lp = bare_lp.split("/")[-1] if bare_lp.startswith("vtab/") else bare_lp
         classnames = templates.get_classnames(
-            bare_lp if dataset != "synthetic" else "cifar10"
+            _bare_dataset_name(dataset) if dataset != "synthetic" else "cifar10"
         )
         embed_fn = make_embedding_fn(params, cfg, output_normalize=True)
         metrics = evaluate_linear_probe(

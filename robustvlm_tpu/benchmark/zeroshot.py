@@ -98,6 +98,12 @@ def run_classification(
     xs, ys, logits_clean = [], [], []
     seen = 0
     for xb, yb in data:
+        if attack is not None and np.asarray(yb).ndim == 2:
+            # fail fast (first batch) instead of after the full clean pass
+            raise NotImplementedError(
+                "adversarial evaluation of multilabel datasets is not "
+                "supported (the reference cascade needs int labels)"
+            )
         if n_samples is not None and seen >= n_samples:
             break
         if n_samples is not None:

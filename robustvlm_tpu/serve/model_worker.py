@@ -106,6 +106,12 @@ class ModelWorker:
             raise ValueError(
                 f"'image' must be (3, H, W) floats in [0,1]; got {arr.shape}"
             )
+        if float(arr.max(initial=0.0)) > 1.5 or float(arr.min(initial=0.0)) < -0.5:
+            # a 0-255-scaled array would otherwise clip to near-white
+            raise ValueError(
+                "'image' values must be in [0,1] (got range "
+                f"[{arr.min():.3g}, {arr.max():.3g}]; divide by 255?)"
+            )
         if arr.shape[1:] != (self.image_size, self.image_size):
             import jax.numpy as jnp
 

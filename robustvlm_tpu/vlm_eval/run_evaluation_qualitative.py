@@ -77,9 +77,12 @@ def main(argv=None):
             x = jnp.asarray(tf(img))[None]
         prompt = model.get_caption_prompt(args.target_str)
         model.set_inputs([prompt])
+        from robustvlm_tpu.vlm_eval.ensemble import _crit_targeted
+
+        # module-level criterion: a per-image lambda would miss apgd's
+        # compiled-core cache and recompile the 10k-iter attack per image
         res = apgd_attack(
-            model, x, None,
-            criterion=lambda o, y: -o,  # minimize target-caption loss
+            model, x, None, criterion=_crit_targeted,
             eps=eps, n_iter=args.n_iter, norm="linf",
             rng=jax.random.PRNGKey(seed),
         )
