@@ -55,9 +55,11 @@ def build_text_classifier(
                 embs.append(enc(params, tokenize(chunk)))
         mat = jnp.concatenate(embs, axis=0).T  # (D, C)
     else:
+        from robustvlm_tpu.benchmark.templates import format_prompts
+
         cols = []
         for c in classnames:
-            toks = tokenize([t.format(c=c) if "{c}" in t else t.format(c) for t in templates])
+            toks = tokenize(format_prompts(templates, c))
             e = enc(params, toks).mean(axis=0)
             cols.append(e / jnp.linalg.norm(e))
         mat = jnp.stack(cols, axis=1)
@@ -78,9 +80,12 @@ def make_zero_shot_classifier(
     """fn(x01 NCHW) -> (B, C) logits; normalization/resize inside the closure.
 
     logit_scale=None multiplies by exp(params['logit_scale']) like the
-    reference's `logit_scale=True` path; a float uses that fixed scale; 0/1.0
-    disables scaling.
+    reference's `logit_scale=True` path; a float multiplies the logits
+    directly (1.0 leaves them unscaled; 0 would ZERO them, so it is
+    rejected).
     """
+    if logit_scale == 0:
+        raise ValueError("logit_scale=0 zeroes all logits; use 1.0 for unscaled")
     if logit_scale is None:
         scale = jnp.exp(params["logit_scale"])
     else:

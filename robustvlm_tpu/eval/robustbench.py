@@ -32,7 +32,6 @@ from robustvlm_tpu.benchmark import templates as T
 from robustvlm_tpu.benchmark.builder import build_dataset
 from robustvlm_tpu.eval.autoattack import AutoAttackTPU
 from robustvlm_tpu.eval.classifier import (
-    accuracy,
     build_text_classifier,
     make_zero_shot_classifier,
 )
@@ -80,6 +79,10 @@ def build_parser():
                         "(clip_robustbench.py:264-296)")
     p.add_argument("--alpha", type=float, default=None,
                    help="APGD initial step-size multiplier override")
+    p.add_argument("--remat", default="dots",
+                   choices=["dots", "full", "dots_saveable", "none"],
+                   help="per-block remat for the attacked forward "
+                        "(bench.py: 'dots' is the tuned default)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--bpe_path", default="")
@@ -107,6 +110,10 @@ def load_model(args):
             args.pretrained, cfg, base_params=params,
             interpolate_with=args.pretrained2 or None, beta=args.beta,
         )
+    elif getattr(args, "pretrained2", ""):
+        raise ValueError(
+            "--pretrained2 interpolates AGAINST --pretrained; give both"
+        )
     return cfg, params
 
 
@@ -128,6 +135,10 @@ def main(argv=None):
         params, cfg, classifier,
         resize_to=cfg.image_size if native != cfg.image_size else None,
         compute_dtype=compute_dtype,
+        # 'dots' is the tuned production remat for grad-wrt-pixels at the
+        # attack chunk size (bench.py measurement trail); no-remat loses
+        # ~17% at b8 and fails to compile at b32
+        remat=args.remat if args.remat != "none" else False,
     )
 
     root = {"imagenet": args.imagenet_root, "cifar10": args.cifar10_root,
@@ -145,8 +156,11 @@ def main(argv=None):
         n += take
         if n >= args.n_ex:
             break
-    x = jnp.asarray(np.concatenate(xs))
-    y = jnp.asarray(np.concatenate(ys))
+    # keep the eval set on the HOST: the cascade slices fixed-size chunks
+    # and uploads per batch; a whole-set jnp.asarray would round-trip
+    # multi-GB arrays through the remote tunnel and pin HBM for the run
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -156,8 +170,6 @@ def main(argv=None):
     )
 
     t0 = time.time()
-    clean_acc = accuracy(logits_fn, x, y, batch_size=args.batch_size)
-    print(f"clean accuracy: {100 * clean_acc:.2f}%")
 
     if args.full_benchmark:
         # reference --full_benchmark == robustbench.benchmark(): the
@@ -170,14 +182,18 @@ def main(argv=None):
     else:
         aa = AutoAttackTPU(
             logits_fn, norm=args.norm, eps=eps, n_iter=args.n_iter,
-            attacks_to_run=[a for a in args.attacks.split(",") if a],
+            attacks_to_run=[a.strip() for a in args.attacks.split(",") if a.strip()],
             alpha=args.alpha, verbose=True, host_loop=args.host_loop,
         )
     x_adv = aa.run_standard_evaluation(
         x, y, bs=args.attack_batch,
         state_path=(args.state_path or None),
+        bs_forward=args.batch_size,
     )
     racc = aa.robust_accuracy_dict
+    # the cascade's clean pass IS the clean accuracy — no second sweep
+    clean_acc = racc["clean"]
+    print(f"clean accuracy: {100 * clean_acc:.2f}%")
     robust_acc = min(
         (v for k, v in racc.items() if k != "clean"), default=racc["clean"]
     )

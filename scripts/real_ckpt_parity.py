@@ -135,7 +135,12 @@ def run_imagenet_eval(args, params, cfg):
         attacks_to_run=["apgd-ce", "apgd-t"], n_iter=args.n_iter,
         verbose=True, host_loop=args.host_loop,
     )
-    aa.run_standard_evaluation(x, y, bs=args.batch_size, run_checks=False)
+    # attack chunks at the measured v5e per-example throughput peak
+    # (bench.py batch curve: 8); forwards stay at the loader batch
+    aa.run_standard_evaluation(
+        x, y, bs=args.attack_batch, bs_forward=args.batch_size,
+        run_checks=False,
+    )
     return aa.robust_accuracy_dict
 
 
@@ -154,6 +159,7 @@ def main(argv=None):
     p.add_argument("--n_iter", type=int, default=100)
     p.add_argument("--eps", type=float, default=2.0, help="/255 units")
     p.add_argument("--batch_size", type=int, default=50)
+    p.add_argument("--attack_batch", type=int, default=8)
     p.add_argument("--bpe_path", default=os.environ.get("CLIP_BPE_PATH", ""))
     p.add_argument("--host_loop", action="store_true")
     args = p.parse_args(argv)
