@@ -356,7 +356,10 @@ class TestVqaNormalizationParity:
 
 
 class TestTrainPgdParity:
-    def test_trajectory_matches_reference_bitwise(self):
+    @pytest.mark.parametrize("norm,eps,steps", [
+        ("linf", 8 / 255, 2 / 255), ("l2", 1.0, 0.25),
+    ])
+    def test_trajectory_matches_reference_bitwise(self, norm, eps, steps):
         """The training PGD is fully deterministic (zero init, momentum
         0.9, grad-normalize, project, clamp): on the same loss surface our
         scan must reproduce the reference torch trajectory to fp32
@@ -371,7 +374,7 @@ class TestTrainPgdParity:
         W = rng.randn(3 * 8 * 8, 4).astype(np.float32) * 0.1
         x = rng.rand(6, 3, 8, 8).astype(np.float32)
         y = np.argmax(x.reshape(6, -1) @ W, -1)
-        eps, steps, iters = 8 / 255, 2 / 255, 10
+        iters = 10
 
         Wt = torch.from_numpy(W)
 
@@ -381,7 +384,7 @@ class TestTrainPgdParity:
         ce = torch.nn.CrossEntropyLoss()
         adv_ref = ref_pgd(
             fwd, lambda o, t: ce(o, t), torch.from_numpy(x),
-            torch.from_numpy(y.astype(np.int64)), "linf", eps, iters,
+            torch.from_numpy(y.astype(np.int64)), norm, eps, iters,
             steps, False, mode="max",
         ).numpy()
 
@@ -397,7 +400,7 @@ class TestTrainPgdParity:
 
         adv = np.asarray(pgd_attack(
             loss_fn, jnp.asarray(x), eps=eps, stepsize=steps,
-            iterations=iters, norm="linf", mode="max",
+            iterations=iters, norm=norm, mode="max",
         ))
         np.testing.assert_allclose(adv, adv_ref, atol=1e-5)
 
