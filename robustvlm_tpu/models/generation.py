@@ -190,6 +190,46 @@ def beam_generate(
     )
 
 
+def greedy_generate_stream(
+    prefill_fn: Callable,
+    decode_fn: Callable,
+    prompt_tokens: jax.Array,
+    n_pad: jax.Array,
+    *,
+    max_new_tokens: int,
+    eos_id: int,
+    pad_id: int = 0,
+):
+    """Host-driven greedy decode yielding one (B,) token-id array per step
+    — the serving stream path (reference model_worker generate_stream).
+
+    Same argmax semantics as greedy_generate; runs the decode step eagerly
+    so tokens surface as produced (and nothing jits over the closed-over
+    param tree). Stops early when every row has emitted EOS.
+    """
+    b, t = prompt_tokens.shape
+    kv_valid0 = jnp.arange(t)[None, :] >= n_pad[:, None]
+    positions = jnp.maximum(jnp.arange(t)[None, :] - n_pad[:, None], 0)
+    logits, cache = prefill_fn(prompt_tokens, kv_valid0, positions)
+    kv_mask = jnp.concatenate(
+        [kv_valid0, jnp.zeros((b, max_new_tokens), bool)], axis=1
+    )
+    done = np.zeros((b,), bool)
+    for i in range(max_new_tokens):
+        nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+        nxt = np.where(done, pad_id, nxt)
+        done = done | (nxt == eos_id)
+        yield nxt.copy()
+        if done.all():
+            return
+        kv_mask = kv_mask.at[:, t + i].set(True)
+        qpos = (t + i - n_pad)[:, None]
+        logits, cache = decode_fn(
+            jnp.asarray(nxt)[:, None], cache, t + i, kv_mask, qpos
+        )
+        logits = logits[:, -1]
+
+
 def strip_after_eos(tokens: np.ndarray, eos_id: int, pad_id: int = 0):
     """Host-side: list of token lists truncated at the first EOS."""
     out = []

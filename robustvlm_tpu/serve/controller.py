@@ -206,6 +206,31 @@ def make_handler(controller: Controller):
                         self._json(json.loads(r.read()))
                 except Exception as e:
                     self._json({"error": str(e)}, 502)
+            elif path == "/worker_generate_stream":
+                addr = controller.get_worker_address(payload["model"])
+                if not addr:
+                    self._json({"error": "no worker for model"}, 503)
+                    return
+                req = urllib.request.Request(
+                    addr + "/worker_generate_stream",
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=300) as r:
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "application/x-ndjson"
+                        )
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.end_headers()
+                        for line in r:  # NDJSON lines as they arrive
+                            self.wfile.write(f"{len(line):X}\r\n".encode())
+                            self.wfile.write(line + b"\r\n")
+                            self.wfile.flush()
+                        self.wfile.write(b"0\r\n\r\n")
+                except Exception as e:
+                    self._json({"error": str(e)}, 502)
             else:
                 self._json({"error": "unknown endpoint"}, 404)
 

@@ -122,6 +122,11 @@ class ModelWorker:
             )
         return np.clip(arr, 0.0, 1.0)
 
+    def _prompt(self, payload: dict) -> str:
+        if payload.get("task", "caption") == "vqa":
+            return self.model.get_vqa_prompt(payload["question"], None)
+        return self.model.get_caption_prompt(None)
+
     def generate(self, payload: dict) -> dict:
         import jax.numpy as jnp
 
@@ -129,19 +134,36 @@ class ModelWorker:
             self.queue_length += 1
         try:
             x = jnp.asarray(self.decode_image(payload))[None]
-            task = payload.get("task", "caption")
-            if task == "vqa":
-                prompt = self.model.get_vqa_prompt(payload["question"], None)
-            else:
-                prompt = self.model.get_caption_prompt(None)
             text = self.model.get_outputs(
-                x, [prompt],
+                x, [self._prompt(payload)],
                 max_new_tokens=int(payload.get("max_new_tokens", 32)),
                 num_beams=int(payload.get("num_beams", 1)),
             )[0]
             return {"text": text, "error_code": 0}
         except Exception as e:  # pragma: no cover
             return {"text": "", "error_code": 1, "error": str(e)}
+        finally:
+            with self.lock:
+                self.queue_length -= 1
+
+    def generate_stream(self, payload: dict):
+        """Yield {"text": cumulative, "error_code": 0} dicts as tokens
+        arrive (reference model_worker generate_stream)."""
+        import jax.numpy as jnp
+
+        from robustvlm_tpu.vlm_eval.eval_models import stream_outputs
+
+        with self.lock:
+            self.queue_length += 1
+        try:
+            x = jnp.asarray(self.decode_image(payload))[None]
+            for text in stream_outputs(
+                self.model, x, self._prompt(payload),
+                max_new_tokens=int(payload.get("max_new_tokens", 32)),
+            ):
+                yield {"text": text, "error_code": 0}
+        except Exception as e:  # pragma: no cover
+            yield {"text": "", "error_code": 1, "error": str(e)}
         finally:
             with self.lock:
                 self.queue_length -= 1
@@ -168,6 +190,18 @@ def make_handler(worker: ModelWorker):
                 self._json(worker.status())
             elif path == "/worker_generate":
                 self._json(worker.generate(payload))
+            elif path == "/worker_generate_stream":
+                # newline-delimited JSON chunks, flushed per token
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for chunk in worker.generate_stream(payload):
+                    data = json.dumps(chunk).encode() + b"\n"
+                    self.wfile.write(f"{len(data):X}\r\n".encode())
+                    self.wfile.write(data + b"\r\n")
+                    self.wfile.flush()
+                self.wfile.write(b"0\r\n\r\n")
             else:
                 self._json({"error": "unknown endpoint"}, 404)
 

@@ -193,20 +193,13 @@ class LlavaEvalModel:
         assert c is not None, "call set_inputs first"
         return self._loss(x01, c.pre, c.post, c.labels, c.label_mask)
 
-    def get_outputs(
-        self,
-        x01: jax.Array,
-        prompts: Sequence[str],
-        *,
-        max_new_tokens: int = 32,
-        num_beams: int = 1,
-        length_penalty: float = 0.0,
-        stop_strings: Sequence[str] = ("</s>", "USER:"),
-    ) -> List[str]:
+    DEFAULT_STOPS = ("</s>", "USER:")
+
+    def _decode_fns(self, x01, prompts, max_new_tokens):
         from robustvlm_tpu.models.llava.conversation import split_at_image
         from robustvlm_tpu.models.llava.model import make_llava_decode_fns
 
-        pre_txt, post_txt = split_at_image(prompts[0])
+        pre_txt, _ = split_at_image(prompts[0])
         pre_ids = [self.tok.bos_token_id] + _encode_plain(self.tok, pre_txt)
         post_seqs = [_encode_plain(self.tok, split_at_image(p)[1]) for p in prompts]
         toks, n_pad = left_pad(post_seqs, self.tok.pad_token_id)
@@ -215,6 +208,19 @@ class LlavaEvalModel:
             max_total_len=toks.shape[1] + max_new_tokens,
             compute_dtype=self.compute_dtype,
         )
+        return pf, df, toks, n_pad
+
+    def get_outputs(
+        self,
+        x01: jax.Array,
+        prompts: Sequence[str],
+        *,
+        max_new_tokens: int = 32,
+        num_beams: int = 1,
+        length_penalty: float = 0.0,
+        stop_strings: Sequence[str] = DEFAULT_STOPS,
+    ) -> List[str]:
+        pf, df, toks, n_pad = self._decode_fns(x01, prompts, max_new_tokens)
         gen = greedy_generate if num_beams == 1 else beam_generate
         kw = {} if num_beams == 1 else {
             "num_beams": num_beams, "length_penalty": length_penalty
@@ -354,16 +360,9 @@ class FlamingoEvalModel:
             vision_x = vision_x[:, None, None]
         return self._loss(vision_x, self._lang, self._labels, self._mask)
 
-    def get_outputs(
-        self,
-        vision_x: jax.Array,
-        prompts: Sequence[str],
-        *,
-        max_new_tokens: int = 32,
-        num_beams: int = 1,
-        length_penalty: float = 0.0,
-        stop_strings: Sequence[str] = ("<|endofchunk|>", "Output:", "Question:"),
-    ) -> List[str]:
+    DEFAULT_STOPS = ("<|endofchunk|>", "Output:", "Question:")
+
+    def _decode_fns(self, vision_x, prompts, max_new_tokens):
         from robustvlm_tpu.models.flamingo.model import make_flamingo_decode_fns
 
         if vision_x.ndim == 4:
@@ -375,6 +374,19 @@ class FlamingoEvalModel:
             max_total_len=toks.shape[1] + max_new_tokens,
             compute_dtype=self.compute_dtype,
         )
+        return pf, df, toks, n_pad
+
+    def get_outputs(
+        self,
+        vision_x: jax.Array,
+        prompts: Sequence[str],
+        *,
+        max_new_tokens: int = 32,
+        num_beams: int = 1,
+        length_penalty: float = 0.0,
+        stop_strings: Sequence[str] = DEFAULT_STOPS,
+    ) -> List[str]:
+        pf, df, toks, n_pad = self._decode_fns(vision_x, prompts, max_new_tokens)
         gen = greedy_generate if num_beams == 1 else beam_generate
         kw = {} if num_beams == 1 else {
             "num_beams": num_beams, "length_penalty": length_penalty
@@ -489,16 +501,9 @@ class Blip2EvalModel:
         tokens, labels, mask = self._cached
         return self._loss(x01, tokens, labels, mask)
 
-    def get_outputs(
-        self,
-        x01: jax.Array,
-        prompts: Sequence[str],
-        *,
-        max_new_tokens: int = 32,
-        num_beams: int = 1,
-        length_penalty: float = 0.0,
-        stop_strings: Sequence[str] = ("Question:", "\n"),
-    ) -> List[str]:
+    DEFAULT_STOPS = ("Question:", "\n")
+
+    def _decode_fns(self, x01, prompts, max_new_tokens):
         from robustvlm_tpu.models.blip2.model import make_blip2_decode_fns
 
         bos = getattr(self.tok, "bos_token_id", None)
@@ -512,6 +517,19 @@ class Blip2EvalModel:
             max_total_len=toks.shape[1] + max_new_tokens,
             compute_dtype=self.compute_dtype,
         )
+        return pf, df, toks, n_pad
+
+    def get_outputs(
+        self,
+        x01: jax.Array,
+        prompts: Sequence[str],
+        *,
+        max_new_tokens: int = 32,
+        num_beams: int = 1,
+        length_penalty: float = 0.0,
+        stop_strings: Sequence[str] = DEFAULT_STOPS,
+    ) -> List[str]:
+        pf, df, toks, n_pad = self._decode_fns(x01, prompts, max_new_tokens)
         gen = greedy_generate if num_beams == 1 else beam_generate
         kw = {} if num_beams == 1 else {
             "num_beams": num_beams, "length_penalty": length_penalty
@@ -527,6 +545,43 @@ class Blip2EvalModel:
                 res.tokens, self.tok.eos_token_id, self.tok.pad_token_id
             )
         ]
+
+
+def stream_outputs(
+    model,
+    x01: jax.Array,
+    prompt: str,
+    *,
+    max_new_tokens: int = 32,
+    stop_strings: Optional[Sequence[str]] = None,
+):
+    """Yield cumulative decoded text for ONE example as greedy tokens
+    arrive (the serving stream path — reference model_worker
+    generate_stream). Works with any adapter exposing `_decode_fns`.
+    """
+    from robustvlm_tpu.models.generation import greedy_generate_stream
+
+    pf, df, toks, n_pad = model._decode_fns(x01, [prompt], max_new_tokens)
+    stops = (
+        tuple(stop_strings) if stop_strings is not None
+        else getattr(model, "DEFAULT_STOPS", ())
+    )
+    ids: List[int] = []
+    for step in greedy_generate_stream(
+        pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+        max_new_tokens=max_new_tokens, eos_id=model.tok.eos_token_id,
+        pad_id=model.tok.pad_token_id,
+    ):
+        t_id = int(step[0])
+        if t_id in (model.tok.eos_token_id, model.tok.pad_token_id):
+            break
+        ids.append(t_id)
+        raw = model.tok.decode(ids)
+        if any(s in raw for s in stops):
+            yield truncate_at_stops(raw, stops)
+            return
+        yield raw.strip()
+
 
 def make_frame_mask(vision_x_shape, mask_out: str = "context"):
     """Gradient mask over few-shot media frames (reference

@@ -236,3 +236,30 @@ class TestFlamingoBeam:
         )
         assert res.tokens.shape == (2, 3)
         assert np.all(np.isfinite(np.asarray(res.scores)))
+
+
+class TestStreamingDecode:
+    def test_stream_tokens_match_greedy(self):
+        """greedy_generate_stream must emit exactly greedy_generate's
+        token sequence (the serving stream is the same math, host-driven)."""
+        from robustvlm_tpu.models.generation import greedy_generate_stream
+
+        params = _gated_params()
+        cfg = FCFG.__class__(**{**FCFG.__dict__, "media_token_id": 500})
+        rng = np.random.RandomState(8)
+        vx = jnp.asarray(rng.rand(1, 1, 1, 3, 32, 32).astype(np.float32))
+        toks, n_pad = left_pad([[500, 5, 6, 7]])
+        pf, df = make_flamingo_decode_fns(
+            params, cfg, vx, max_total_len=16, compute_dtype=jnp.float32
+        )
+        res = greedy_generate(
+            pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+            max_new_tokens=4, eos_id=-1,
+        )
+        streamed = [
+            int(t[0]) for t in greedy_generate_stream(
+                pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+                max_new_tokens=4, eos_id=-1,
+            )
+        ]
+        assert streamed == [int(v) for v in np.asarray(res.tokens[0])]

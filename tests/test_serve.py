@@ -91,6 +91,23 @@ class TestEndToEnd:
             "task": "vqa", "question": "what is it", "max_new_tokens": 3,
         })
         assert res2["error_code"] == 0
+
+        # streaming: NDJSON chunks through the controller proxy, final
+        # cumulative text equals the non-streamed greedy output
+        req = urllib.request.Request(
+            ctrl_addr + "/worker_generate_stream",
+            data=json.dumps({
+                "model": "llava-tiny", "image": img.tolist(),
+                "task": "caption", "max_new_tokens": 3,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        chunks = []
+        with urllib.request.urlopen(req, timeout=60) as r:
+            for line in r:
+                chunks.append(json.loads(line))
+        assert chunks and all(c["error_code"] == 0 for c in chunks)
+        assert chunks[-1]["text"] == res["text"]
         ctrl_srv.shutdown()
         wsrv.shutdown()
 
