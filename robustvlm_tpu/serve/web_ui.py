@@ -106,17 +106,43 @@ $("go").addEventListener("click", async () => {
   if (!imageB64) { $("answer").textContent = "pick an image first"; return; }
   $("go").disabled = true;
   $("answer").textContent = "...";
+  const body = {
+    model: $("model").value,
+    image_b64: imageB64,
+    task: $("task").value,
+    question: $("question").value,
+    max_new_tokens: parseInt($("max_new_tokens").value),
+    num_beams: parseInt($("num_beams").value),
+  };
   try {
-    const res = await post("/worker_generate", {
-      model: $("model").value,
-      image_b64: imageB64,
-      task: $("task").value,
-      question: $("question").value,
-      max_new_tokens: parseInt($("max_new_tokens").value),
-      num_beams: parseInt($("num_beams").value),
-    });
-    $("answer").textContent =
-      res.error_code === 0 ? res.text : JSON.stringify(res);
+    if (body.num_beams <= 1) {
+      // greedy: stream tokens as they arrive (NDJSON chunks)
+      const r = await fetch("/worker_generate_stream", {
+        method: "POST",
+        headers: {"Content-Type": "application/json"},
+        body: JSON.stringify(body),
+      });
+      const reader = r.body.getReader();
+      const dec = new TextDecoder();
+      let buf = "";
+      for (;;) {
+        const {done, value} = await reader.read();
+        if (done) break;
+        buf += dec.decode(value, {stream: true});
+        const lines = buf.split("\\n");
+        buf = lines.pop();
+        for (const line of lines) {
+          if (!line.trim()) continue;
+          const res = JSON.parse(line);
+          $("answer").textContent =
+            res.error_code === 0 ? res.text : JSON.stringify(res);
+        }
+      }
+    } else {
+      const res = await post("/worker_generate", body);
+      $("answer").textContent =
+        res.error_code === 0 ? res.text : JSON.stringify(res);
+    }
   } catch (e) {
     $("answer").textContent = String(e);
   } finally {
