@@ -156,6 +156,9 @@ def apgd_attack(
     norm = canonical_norm(norm)
     if norm not in ("linf", "l2", "l1"):
         raise ValueError(f"apgd: unsupported norm {norm}")
+    from robustvlm_tpu.attacks._validate import check_image_range
+
+    check_image_range(x)
     b = x.shape[0]
     n_fts = math.prod(x.shape[1:])
     track_acc = y is not None

@@ -173,6 +173,9 @@ def fab_attack(
     candidate set to the top-m classes by clean logits (static per run;
     selection within it stays per-iteration) to bound the per-iteration
     backward passes at m; default: all classes except y."""
+    from robustvlm_tpu.attacks._validate import check_image_range
+
+    check_image_range(x)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b = x.shape[0]

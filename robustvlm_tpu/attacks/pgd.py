@@ -65,6 +65,9 @@ def pgd_attack(
     Returns:
       x_adv with the perturbation inside the ball and x_adv in [0,1].
     """
+    from robustvlm_tpu.attacks._validate import check_image_range
+
+    check_image_range(x)
     if mode not in ("min", "max"):
         raise ValueError(f"unknown mode: {mode}")
     sign = -1.0 if mode == "min" else 1.0

@@ -71,6 +71,9 @@ def square_attack_linf(
     resc_schedule=True, used by AutoAttack): the p-schedule brackets are
     expressed on a 10k-query scale and rescaled to n_queries, so the
     smaller-square phases still execute at n_queries != 10000."""
+    from robustvlm_tpu.attacks._validate import check_image_range
+
+    check_image_range(x)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b, c, h, w = x.shape
@@ -230,6 +233,9 @@ def square_attack_l2(
     scanned together (the eta pattern is static per segment)."""
     import numpy as np
 
+    from robustvlm_tpu.attacks._validate import check_image_range
+
+    check_image_range(x)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b, c, h, w = x.shape
@@ -375,6 +381,9 @@ def square_attack_l1(
 
     from robustvlm_tpu.ops.projections import l1_ball_projection
 
+    from robustvlm_tpu.attacks._validate import check_image_range
+
+    check_image_range(x)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     b, c, h, w = x.shape

@@ -82,3 +82,26 @@ class TestPGD:
         )
         adv = jitted(self.x)
         assert adv.shape == self.x.shape
+
+
+import pytest
+
+
+class TestThreatModelGuard:
+    def test_mis_scaled_input_rejected(self):
+        """0-255-scaled inputs must error loudly (the reference's range
+        asserts, SURVEY.md §4.1) — eps would be relatively microscopic."""
+        from robustvlm_tpu.attacks.apgd import apgd_attack
+        from robustvlm_tpu.attacks.pgd import pgd_attack
+
+        x255 = jnp.asarray(
+            np.random.RandomState(0).rand(2, 3, 8, 8).astype(np.float32) * 255
+        )
+        with pytest.raises(ValueError, match="255"):
+            pgd_attack(lambda t: jnp.sum(t), x255, eps=8 / 255,
+                       stepsize=2 / 255, iterations=2)
+        with pytest.raises(ValueError, match="255"):
+            apgd_attack(
+                lambda t: jnp.sum(t, axis=(1, 2, 3)), x255, None,
+                criterion=lambda o, y: o, eps=8 / 255, n_iter=2,
+            )
