@@ -442,7 +442,18 @@ class TestTfdsCliEndToEnd:
         TestTfdsVtabAdapter._install_fake_tfds(
             monkeypatch, examples, label_names=("a cat", "a dog")
         )
+        from robustvlm_tpu.benchmark import templates as T
         from robustvlm_tpu.benchmark.cli import main
+
+        # the adapter-provided classnames MUST be used: a fallback to the
+        # builtin cifar10 table (the original regression) would silently
+        # run a 10-class classifier over this 2-class data
+        def no_table(*a, **k):
+            raise AssertionError(
+                "classname table consulted — adapter classes were discarded"
+            )
+
+        monkeypatch.setattr(T, "get_classnames", no_table)
 
         res = main([
             "eval", "--model", "test-tiny", "--pretrained", "random",

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from robustvlm_tpu.attacks.pgd import pgd_attack
 from robustvlm_tpu.ops.projections import l2_norm, linf_norm
@@ -82,9 +83,6 @@ class TestPGD:
         )
         adv = jitted(self.x)
         assert adv.shape == self.x.shape
-
-
-import pytest
 
 
 class TestThreatModelGuard:
