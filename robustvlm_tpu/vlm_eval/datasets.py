@@ -29,16 +29,19 @@ def _load_image(path: str, transform) -> np.ndarray:
 
 
 def _parse_caption_annotations(annotations_path: str):
-    """(captions_by_id, filename_by_id) from a COCO-style or karpathy-style
-    annotations json."""
+    """(captions_by_id, filename_by_id, meta_by_id) from a COCO-style or
+    karpathy-style annotations json. `meta` carries the karpathy 'split'
+    and 'filepath' fields when present (empty dicts for COCO-style)."""
     with open(annotations_path) as f:
         data = json.load(f)
     caps: Dict[int, List[str]] = {}
     files: Dict[int, str] = {}
+    meta: Dict[int, Dict] = {}
     if isinstance(data, dict) and "annotations" in data:
         for im in data.get("images", []):
             iid = im.get("id", im.get("cocoid"))
             files[iid] = im.get("file_name", im.get("filename"))
+            meta[iid] = {}
         for a in data["annotations"]:
             caps.setdefault(a["image_id"], []).append(a["caption"])
     else:  # karpathy flat format
@@ -46,7 +49,10 @@ def _parse_caption_annotations(annotations_path: str):
             iid = im.get("cocoid", im.get("imgid"))
             files[iid] = im.get("filename")
             caps[iid] = [s["raw"] for s in im.get("sentences", [])]
-    return caps, files
+            meta[iid] = {
+                k: im[k] for k in ("split", "filepath") if k in im
+            }
+    return caps, files, meta
 
 
 def load_caption_annotations(annotations_path: str) -> Dict[int, List[str]]:
@@ -67,12 +73,29 @@ class CaptionDataset:
         size: int = 224,
         which_gt: Union[int, Dict, str] = 0,
         n_samples: Optional[int] = None,
+        split: Optional[str] = None,
+        image_root_train: Optional[str] = None,
     ):
+        """`split`: karpathy split filter — 'train' keeps split=='train'
+        entries, anything else keeps split=='test' (the reference's
+        is_train flag, eval_datasets.py:33-35). Jsons without split fields
+        (plain COCO captions_*.json) are left unfiltered — pass a
+        dedicated per-split annotations file for those. `image_root_train`
+        resolves karpathy filepath=='train2014' entries (COCO train images
+        live in a different directory, eval_datasets.py:55-63)."""
         self.image_root = Path(image_root)
+        self.image_root_train = (
+            Path(image_root_train) if image_root_train else self.image_root
+        )
         self.transform = default_image_transform(size)
-        caps, files = _parse_caption_annotations(annotations_path)
-        self.ids = [i for i in files if i in caps][:n_samples]
+        caps, files, meta = _parse_caption_annotations(annotations_path)
+        ids = [i for i in files if i in caps]
+        if split is not None and any("split" in meta[i] for i in ids):
+            want = "train" if split == "train" else "test"
+            ids = [i for i in ids if meta[i].get("split") == want]
+        self.ids = ids[:n_samples]
         self.files = files
+        self.meta = meta
         self.captions = caps
         self.which_gt = which_gt
 
@@ -90,7 +113,12 @@ class CaptionDataset:
 
     def __getitem__(self, i: int):
         iid = self.ids[i]
-        x = _load_image(str(self.image_root / self.files[iid]), self.transform)
+        root = (
+            self.image_root_train
+            if self.meta.get(iid, {}).get("filepath") == "train2014"
+            else self.image_root
+        )
+        x = _load_image(str(root / self.files[iid]), self.transform)
         return {
             "image": x,
             "image_id": iid,

@@ -116,6 +116,8 @@ class EnsembleRunner:
         num_beams: int = 1,
         verbose: bool = True,
         host_loop: bool = False,
+        mask_out: Optional[str] = None,
+        batch_size: int = 1,
     ):
         self.make_model = make_model
         self.eps = eps
@@ -128,6 +130,21 @@ class EnsembleRunner:
         self.num_beams = num_beams
         self.verbose = verbose
         self.host_loop = host_loop
+        # few-shot frame masking ('context'/'query'; reference --mask_out,
+        # run_evaluation.py:353,:898-904): applied only when the stacked
+        # media axis exists (x is (B,T,F,C,H,W) with T>1 — at 0 shots the
+        # reference sets mask_out=None, here there is no T axis to mask)
+        self.mask_out = mask_out if mask_out not in (None, "none") else None
+        # batch >1 applies ONLY to untargeted non-warm-start stages (gt=0..4):
+        # their per-example attack state is fully vectorized so trajectories
+        # are batch-composition-independent, and right-padding the shorter
+        # prompts is loss-invariant (causal attention + masked pad labels).
+        # Targeted stages keep per-item rng streams and the prev-best stage
+        # keeps per-item warm starts/gt — both stay serial. The reference's
+        # batch-1 constraint (vlm_eval/attacks/apgd.py:166) is artificial
+        # here; VLM eval wall-clock (500 images x 8 stages x 100 iters) is
+        # the dominant cost the batch amortizes.
+        self.batch_size = max(int(batch_size), 1)
         self._models: Dict[str, object] = {}
 
     def _model(self, precision: str):
@@ -142,9 +159,14 @@ class EnsembleRunner:
         # criterion identity — a per-call lambda would recompile the whole
         # attack scan for every image of every stage
         crit = _crit_targeted if spec.targeted else _crit_untargeted
+        mask = None
+        if self.mask_out and x.ndim == 6 and x.shape[1] > 1:
+            from robustvlm_tpu.vlm_eval.eval_models import make_frame_mask
+
+            mask = make_frame_mask(x.shape, self.mask_out)
         res = apgd_attack(
             model, x, None, criterion=crit, eps=self.eps,
-            n_iter=spec.n_iter, norm=self.norm,
+            n_iter=spec.n_iter, norm=self.norm, mask=mask,
             x_init=x_init, rng=rng, host_loop=self.host_loop,
             # targeted stages all teacher-force the same target_str; a
             # random start (seeded per stage/item) is what makes the
@@ -163,9 +185,14 @@ class EnsembleRunner:
         seed: int = 0,
         n_samples: Optional[int] = None,
         save_adv: bool = True,
+        indices: Optional[Sequence[int]] = None,
     ) -> Dict:
-        n = min(len(dataset), n_samples or len(dataset))
-        items = [dataset[i] for i in range(n)]
+        if indices is not None:
+            items = [dataset[int(i)] for i in indices]
+            n = len(items)
+        else:
+            n = min(len(dataset), n_samples or len(dataset))
+            items = [dataset[i] for i in range(n)]
         # per-ITEM key: VQA datasets carry several questions per image, so
         # image_id alone would collide (later questions skipped/overwritten
         # and dropped from the metric); question_id is unique per item
@@ -185,57 +212,89 @@ class EnsembleRunner:
 
         for a_idx, spec in enumerate(schedule):
             model = self._model(spec.precision)
-            for i_idx, it in enumerate(items):
-                iid = ids[i_idx]
-                if not left_to_attack[iid]:
-                    continue
-                x = jnp.asarray(it["image"])[None]
+            # stage-start snapshot of still-active items (identical to the
+            # old per-item check: left_to_attack only changes for items
+            # already finished this stage)
+            active = [j for j in range(n) if left_to_attack[ids[j]]]
+            batchable = (
+                self.batch_size > 1
+                and not spec.targeted
+                and not spec.init_from_best
+            )
+            if batchable:
+                groups = [
+                    active[k : k + self.batch_size]
+                    for k in range(0, len(active), self.batch_size)
+                ]
+            else:
+                groups = [[j] for j in active]
+            for grp in groups:
                 # prev-best stage re-attacks the per-image best gt caption
-                eff_spec = spec
-                if (
-                    spec.init_from_best
-                    and spec.gt_idx is None
-                    and not spec.targeted
-                ):
-                    eff_spec = dataclasses.replace(
-                        spec, gt_idx=gt_dict.get(str(iid), 0)
-                    )
-                # teacher-forcing prompt: gt text (untargeted) or
+                # (serial-only: init_from_best stages are never batched)
+                eff_specs = []
+                for j in grp:
+                    eff = spec
+                    if (
+                        spec.init_from_best
+                        and spec.gt_idx is None
+                        and not spec.targeted
+                    ):
+                        eff = dataclasses.replace(
+                            spec, gt_idx=gt_dict.get(str(ids[j]), 0)
+                        )
+                    eff_specs.append(eff)
+                # teacher-forcing prompts: gt text (untargeted) or
                 # spec.target_str (targeted)
-                prompt = self.prompt_fn(model, it, eff_spec, False)
-                model.set_inputs([prompt])
+                prompts = [
+                    self.prompt_fn(model, items[j], e, False)
+                    for j, e in zip(grp, eff_specs)
+                ]
+                model.set_inputs(prompts)
+                x = jnp.asarray(
+                    np.stack([np.asarray(items[j]["image"]) for j in grp])
+                )
                 x_init = (
-                    jnp.asarray(best_adv[iid])[None]
-                    if spec.init_from_best and best_adv[iid] is not None
+                    jnp.asarray(best_adv[ids[grp[0]]])[None]
+                    if spec.init_from_best and best_adv[ids[grp[0]]] is not None
                     else None
                 )
                 # positional index, not the id: image/question ids can be
-                # strings (TextVQA/VizWiz)
+                # strings (TextVQA/VizWiz). Untargeted stages never consume
+                # the rng, so the per-item stream is preserved exactly on
+                # the serial paths that do (targeted: use_rs).
                 rng = jax.random.fold_in(
-                    jax.random.fold_in(jax.random.PRNGKey(seed), a_idx), i_idx
+                    jax.random.fold_in(jax.random.PRNGKey(seed), a_idx),
+                    grp[0],
                 )
-                x_adv = self._attack_one(model, x, eff_spec, x_init, rng)
+                x_adv = self._attack_one(model, x, eff_specs[0], x_init, rng)
 
-                query_prompt = self.prompt_fn(model, it, eff_spec, True)
-                out = model.get_outputs(
-                    x_adv, [query_prompt],
+                query_prompts = [
+                    self.prompt_fn(model, items[j], e, True)
+                    for j, e in zip(grp, eff_specs)
+                ]
+                outs = model.get_outputs(
+                    x_adv, query_prompts,
                     max_new_tokens=self.max_new_tokens,
                     num_beams=self.num_beams,
-                )[0]
-                score = self.score_fn(out, it)
-                # NaN scores (e.g. unannotated test-split questions) never
-                # win a `<` comparison — record the FIRST output/adv so
-                # such samples still produce generations and saved images,
-                # but leave best_scores at inf (attacked every stage)
-                if best_outputs[iid] is None or score < best_scores[iid]:
-                    best_outputs[iid] = out
-                    best_adv[iid] = np.asarray(x_adv[0])
-                    if eff_spec.gt_idx is not None:
-                        gt_dict[str(iid)] = eff_spec.gt_idx
-                    if not np.isnan(score):
-                        best_scores[iid] = score
-                if best_scores[iid] < self.threshold:
-                    left_to_attack[iid] = False
+                )
+                for pos, j in enumerate(grp):
+                    iid = ids[j]
+                    out = outs[pos]
+                    score = self.score_fn(out, items[j])
+                    # NaN scores (e.g. unannotated test-split questions)
+                    # never win a `<` comparison — record the FIRST
+                    # output/adv so such samples still produce generations
+                    # and saved images, but leave best_scores at inf
+                    # (attacked every stage)
+                    if best_outputs[iid] is None or score < best_scores[iid]:
+                        best_outputs[iid] = out
+                        best_adv[iid] = np.asarray(x_adv[pos])
+                        if eff_specs[pos].gt_idx is not None:
+                            gt_dict[str(iid)] = eff_specs[pos].gt_idx
+                        if not np.isnan(score):
+                            best_scores[iid] = score
+                    if best_scores[iid] < self.threshold:
+                        left_to_attack[iid] = False
             if self.verbose:
                 active = sum(left_to_attack.values())
                 mean_s = float(np.mean([

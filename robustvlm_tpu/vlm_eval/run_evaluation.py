@@ -61,6 +61,17 @@ def build_parser():
     p.add_argument("--coco_annotations", default="")
     p.add_argument("--flickr_image_dir", default="")
     p.add_argument("--flickr_annotations", default="")
+    # train splits (demonstration pools for few-shot; reference
+    # run_evaluation.py:167-233 *_train_* flag groups). Annotations default
+    # to the eval json — correct for karpathy jsons, which carry both
+    # splits; plain COCO jsons need a dedicated train file.
+    p.add_argument("--coco_train_image_dir", default="")
+    p.add_argument("--coco_train_annotations", default="")
+    p.add_argument("--flickr_train_annotations", default="")
+    for _ds in ("vqav2", "textvqa", "vizwiz", "ok_vqa"):
+        p.add_argument(f"--{_ds}_train_image_dir", default="")
+        p.add_argument(f"--{_ds}_train_questions", default="")
+        p.add_argument(f"--{_ds}_train_annotations", default="")
     p.add_argument("--vqav2_image_dir", default="")
     p.add_argument("--vqav2_questions", default="")
     p.add_argument("--vqav2_annotations", default="")
@@ -87,10 +98,68 @@ def build_parser():
                    help="reload saved adversarial images from this dir")
     p.add_argument("--host_loop", action="store_true",
                    help="host-looped APGD steps (O(1) compile in n_iter)")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="attack batch for the untargeted ensemble stages "
+                        "(gt=0..4 + the clean pass); targeted and prev-best "
+                        "warm-start stages always run per-item. The "
+                        "reference hard-codes 1 (vlm_eval/attacks/apgd.py"
+                        ":166); per-example attack state is vectorized "
+                        "here, so results per image are batch-invariant")
+    # few-shot in-context protocol (reference run_evaluation.py:63-84,:353)
+    p.add_argument("--shots", nargs="+", type=int, default=[0])
+    p.add_argument("--num_trials", type=int, default=1)
+    p.add_argument("--trial_seeds", nargs="+", type=int, default=None,
+                   help="one seed per trial; default: [--seed]")
+    p.add_argument("--query_set_size", type=int, default=2048,
+                   help="demonstration pool size, drawn from the train split")
+    p.add_argument("--mask_out", default="none",
+                   choices=["none", "context", "query"],
+                   help="exclude these media frames from the perturbation "
+                        "(open_flamingo few-shot only)")
     p.add_argument("--out_base_path", default="out/vlm_eval")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--verbose", action="store_true")
     return p
+
+
+def _unwrap(ds):
+    """Innermost dataset (FewShotDataset/TensorCaptionDataset both wrap via
+    `.base`)."""
+    while hasattr(ds, "base"):
+        ds = ds.base
+    return ds
+
+
+def _eval_indices(n_total: int, num_samples, seed: int) -> np.ndarray:
+    """Random eval-subset selection (reference prepare_eval_samples,
+    run_evaluation.py:770-781: np.random.choice(num_samples) with the trial
+    seed). Full-set evals keep natural order."""
+    n_eval = min(n_total, num_samples or n_total)
+    if n_eval < n_total:
+        return np.random.RandomState(seed).choice(n_total, n_eval, replace=False)
+    return np.arange(n_eval)
+
+
+def _wrap_few_shot(args, ds, train_ds, num_shots: int, seed: int):
+    """Attach the demo pool: FewShotDataset adds per-item demos and stacks
+    context frames (reference :946-970). Returns ds unchanged when the
+    effective shot count is 0 (no demos at all)."""
+    from robustvlm_tpu.vlm_eval.fewshot import (
+        FewShotDataset, compute_effective_num_shots, get_query_set,
+    )
+
+    eff = compute_effective_num_shots(num_shots, args.model)
+    if eff <= 0:
+        return ds
+    if num_shots > 0 and args.model != "open_flamingo":
+        raise ValueError(
+            "--shots > 0 needs the interleaved-media model (open_flamingo); "
+            "llava/blip2 towers take a single image per example"
+        )
+    query_set = get_query_set(train_ds, args.query_set_size, seed)
+    return FewShotDataset(
+        ds, query_set, num_shots=num_shots, effective_num_shots=eff, seed=seed
+    )
 
 
 def _tokenizer(args, media_token="<image>"):
@@ -186,18 +255,19 @@ def _image_size(args) -> int:
 
 
 def evaluate_captioning(args, dataset_name: str, image_dir: str,
-                        annotations: str) -> Dict:
+                        annotations: str, *, num_shots: int = 0,
+                        seed: Optional[int] = None) -> Dict:
     from robustvlm_tpu.vlm_eval.datasets import CaptionDataset, TensorCaptionDataset
     from robustvlm_tpu.vlm_eval.ensemble import (
         AttackSpec, EnsembleRunner, attack_success_rate,
         default_captioning_schedule,
     )
+    from robustvlm_tpu.vlm_eval.fewshot import build_context_text
     from robustvlm_tpu.vlm_eval.metrics.cider import CiderIDF, CiderScorer
 
+    seed = args.seed if seed is None else seed
     size = _image_size(args)
-    ds = CaptionDataset(
-        image_dir, annotations, size=size, n_samples=args.num_samples
-    )
+    ds = CaptionDataset(image_dir, annotations, size=size, split="val")
     if args.from_saved:
         if args.attack != "none":
             # re-attacking saved adversarial images would center a NEW
@@ -208,15 +278,36 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
             raise ValueError("--from_saved requires --attack none")
         ds = TensorCaptionDataset(ds, args.from_saved)
 
+    # demonstration pool from the TRAIN split (reference :843-845,:891)
+    from robustvlm_tpu.vlm_eval.fewshot import compute_effective_num_shots
+
+    if compute_effective_num_shots(num_shots, args.model) > 0:
+        train_ann = (
+            getattr(args, f"{dataset_name}_train_annotations", "") or annotations
+        )
+        train_dir = (
+            getattr(args, f"{dataset_name}_train_image_dir", "") or image_dir
+        )
+        train_ds = CaptionDataset(
+            train_dir, train_ann, size=size, split="train",
+            image_root_train=train_dir,
+        )
+        ds = _wrap_few_shot(args, ds, train_ds, num_shots, seed)
+
     def prompt_fn(model, item, spec, query_only):
+        ctx = build_context_text(
+            model, item.get("demos") or [], num_shots, task="caption"
+        )
         if query_only:
-            return model.get_caption_prompt(None)
+            return ctx + model.get_caption_prompt(None)
         if spec.targeted and spec.target_str:
             # teacher-force the TARGET caption; the runner minimizes its
             # loss (reference run_evaluation.py:962, :1254-1261)
-            return model.get_caption_prompt(spec.target_str)
+            return ctx + model.get_caption_prompt(spec.target_str)
         caps = item["all_captions"]
-        return model.get_caption_prompt(caps[(spec.gt_idx or 0) % len(caps)])
+        return ctx + model.get_caption_prompt(
+            caps[(spec.gt_idx or 0) % len(caps)]
+        )
 
     # corpus-level IDF over ALL evaluated images' references — per-image
     # CIDEr under a singleton corpus is identically 0 (log N = 0), which
@@ -224,9 +315,9 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     # every stage over the full result set, coco_metric.py:22-46)
     # caption lists come straight off the annotation tables — indexing the
     # dataset here would decode every image from disk just to discard it
-    n_eval = min(len(ds), args.num_samples or len(ds))
-    cap_ds = ds.base if hasattr(ds, "base") else ds
-    eval_ids = [cap_ds.ids[k] for k in range(n_eval)]
+    cap_ds = _unwrap(ds)
+    sel = _eval_indices(len(cap_ds.ids), args.num_samples, seed)
+    eval_ids = [cap_ds.ids[int(k)] for k in sel]
     idf = CiderIDF([cap_ds.captions[i] for i in eval_ids])
 
     def score_fn(caption, item):
@@ -242,15 +333,19 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     else:
         schedule = default_captioning_schedule(args.n_iter, target_str=tgt)
 
-    out_dir = Path(args.out_base_path) / dataset_name
+    out_dir = Path(args.out_base_path) / (
+        dataset_name if num_shots == 0 else f"{dataset_name}_shots{num_shots}"
+    )
     runner = EnsembleRunner(
         lambda prec: build_eval_model(args, prec),
         eps=args.eps / 255.0, score_fn=score_fn, prompt_fn=prompt_fn,
         threshold=threshold, out_dir=str(out_dir),
         max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
         verbose=args.verbose, host_loop=args.host_loop,
+        batch_size=args.batch_size,
+        mask_out=args.mask_out,
     )
-    res = runner.run(ds, schedule, seed=args.seed, n_samples=args.num_samples)
+    res = runner.run(ds, schedule, seed=seed, indices=sel)
 
     cands = {i: c for i, c in res["outputs"].items() if c is not None}
     refs = {i: cap_ds.captions[i] for i in eval_ids if i in cands}
@@ -277,35 +372,61 @@ VQA_LAYOUTS = {
 }
 
 
-def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
+def evaluate_vqa(args, dataset_name: str = "vqav2", *, num_shots: int = 0,
+                 seed: Optional[int] = None) -> Dict:
     from robustvlm_tpu.vlm_eval.datasets import VQADataset
     from robustvlm_tpu.vlm_eval.ensemble import (
         AttackSpec, EnsembleRunner, default_vqa_schedule,
     )
+    from robustvlm_tpu.vlm_eval.fewshot import (
+        build_context_text, compute_effective_num_shots,
+    )
     from robustvlm_tpu.vlm_eval.metrics.vqa_accuracy import vqa_accuracy
 
+    seed = args.seed if seed is None else seed
     size = _image_size(args)
     image_dir = getattr(args, f"{dataset_name}_image_dir")
     questions = getattr(args, f"{dataset_name}_questions")
     annotations = getattr(args, f"{dataset_name}_annotations")
     ds = VQADataset(
         image_dir, questions, annotations,
-        size=size, n_samples=args.num_samples, **VQA_LAYOUTS[dataset_name],
+        size=size, **VQA_LAYOUTS[dataset_name],
     )
 
+    # demonstration pool from the train files (reference :1164-1200); demos
+    # need annotator answers, so the train annotations are required
+    if compute_effective_num_shots(num_shots, args.model) > 0:
+        train_dir = (
+            getattr(args, f"{dataset_name}_train_image_dir", "") or image_dir
+        )
+        train_q = (
+            getattr(args, f"{dataset_name}_train_questions", "") or questions
+        )
+        train_ann = (
+            getattr(args, f"{dataset_name}_train_annotations", "") or annotations
+        )
+        train_ds = VQADataset(
+            train_dir, train_q, train_ann, size=size,
+            **VQA_LAYOUTS[dataset_name],
+        )
+        ds = _wrap_few_shot(args, ds, train_ds, num_shots, seed)
+
     def prompt_fn(model, item, spec, query_only):
+        ctx = build_context_text(
+            model, item.get("demos") or [], num_shots, task="vqa"
+        )
         if query_only:
-            return model.get_vqa_prompt(item["question"], None)
+            return ctx + model.get_vqa_prompt(item["question"], None)
         if spec.targeted and spec.target_str:
             # teacher-force the target word as the answer (reference
             # apgd-maybe / apgd-Word stages, run_evaluation.py:1254-1261)
-            return model.get_vqa_prompt(item["question"], spec.target_str)
+            return ctx + model.get_vqa_prompt(item["question"], spec.target_str)
         answers = item["answers"] or [item.get("gt_answer") or ""]
         from collections import Counter
 
         ranked = [a for a, _ in Counter(answers).most_common()]
         ans = ranked[(spec.gt_idx or 0) % len(ranked)]
-        return model.get_vqa_prompt(item["question"], ans)
+        return ctx + model.get_vqa_prompt(item["question"], ans)
 
     def score_fn(pred, item):
         from robustvlm_tpu.vlm_eval.metrics.vqa_accuracy import (
@@ -334,15 +455,20 @@ def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
     else:
         schedule = default_vqa_schedule(args.n_iter, target_str=tgt)
 
-    out_dir = Path(args.out_base_path) / dataset_name
+    out_dir = Path(args.out_base_path) / (
+        dataset_name if num_shots == 0 else f"{dataset_name}_shots{num_shots}"
+    )
     runner = EnsembleRunner(
         lambda prec: build_eval_model(args, prec),
         eps=args.eps / 255.0, score_fn=score_fn, prompt_fn=prompt_fn,
         threshold=1.0, out_dir=str(out_dir),
         max_new_tokens=args.max_new_tokens, num_beams=args.num_beams,
         verbose=args.verbose, host_loop=args.host_loop,
+        batch_size=args.batch_size,
+        mask_out=args.mask_out,
     )
-    res = runner.run(ds, schedule, seed=args.seed, n_samples=args.num_samples)
+    sel = _eval_indices(len(ds), args.num_samples, seed)
+    res = runner.run(ds, schedule, seed=seed, indices=sel)
     scores = [s for s in res["scores"].values() if np.isfinite(s)]
     metrics = {
         "vqa_accuracy": float(np.mean(scores)) if scores else float("nan"),
@@ -359,26 +485,42 @@ def evaluate_vqa(args, dataset_name: str = "vqav2") -> Dict:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.mask_out != "none" and args.model != "open_flamingo":
+        # reference run_evaluation.py:398
+        raise ValueError("--mask_out requires --model open_flamingo")
     out = Path(args.out_base_path)
     out.mkdir(parents=True, exist_ok=True)
+    trial_seeds = args.trial_seeds or [args.seed]
     results = {}
     t0 = time.time()
-    if args.eval_coco:
-        results["coco"] = evaluate_captioning(
-            args, "coco", args.coco_image_dir, args.coco_annotations
-        )
-    if args.eval_flickr30:
-        results["flickr"] = evaluate_captioning(
-            args, "flickr", args.flickr_image_dir, args.flickr_annotations
-        )
-    if args.eval_vqav2:
-        results["vqav2"] = evaluate_vqa(args, "vqav2")
-    if args.eval_textvqa:
-        results["textvqa"] = evaluate_vqa(args, "textvqa")
-    if args.eval_vizwiz:
-        results["vizwiz"] = evaluate_vqa(args, "vizwiz")
-    if args.eval_ok_vqa:
-        results["ok_vqa"] = evaluate_vqa(args, "ok_vqa")
+    # shots x trials grid (reference main, run_evaluation.py:63-84); the
+    # default grid (one 0-shot trial) keeps the bare dataset keys
+    default_grid = args.shots == [0] and args.num_trials == 1
+    for num_shots in args.shots:
+        for trial in range(args.num_trials):
+            seed = trial_seeds[trial % len(trial_seeds)]
+            sfx = "" if default_grid else f"_shots{num_shots}"
+            if args.num_trials > 1:
+                sfx += f"_trial{trial}"
+            kw = dict(num_shots=num_shots, seed=seed)
+            if args.eval_coco:
+                results["coco" + sfx] = evaluate_captioning(
+                    args, "coco", args.coco_image_dir, args.coco_annotations,
+                    **kw,
+                )
+            if args.eval_flickr30:
+                results["flickr" + sfx] = evaluate_captioning(
+                    args, "flickr", args.flickr_image_dir,
+                    args.flickr_annotations, **kw,
+                )
+            if args.eval_vqav2:
+                results["vqav2" + sfx] = evaluate_vqa(args, "vqav2", **kw)
+            if args.eval_textvqa:
+                results["textvqa" + sfx] = evaluate_vqa(args, "textvqa", **kw)
+            if args.eval_vizwiz:
+                results["vizwiz" + sfx] = evaluate_vqa(args, "vizwiz", **kw)
+            if args.eval_ok_vqa:
+                results["ok_vqa" + sfx] = evaluate_vqa(args, "ok_vqa", **kw)
     results["total_wall_s"] = round(time.time() - t0, 1)
     (out / "results.json").write_text(json.dumps(results, indent=2))
     print(json.dumps(results))

@@ -46,7 +46,23 @@ def build_parser():
     p.add_argument("--out_base_path", default="out/qualitative")
     p.add_argument("--seed", type=int, default=None,
                    help="default: the fixed per-target seed table")
+    p.add_argument("--host_loop", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="host-looped APGD steps — same math as the scan "
+                        "path with O(1) compile in n_iter (the two compiled "
+                        "forms can round differently and the attack "
+                        "amplifies it into a distinct, equally valid "
+                        "trajectory; see attacks/apgd.py). 'auto' turns it "
+                        "on for n_iter >= 500 — a 10k-iteration scan "
+                        "through a 7B VLM is exactly the remote-TPU compile "
+                        "blowup the host loop exists for")
     return p
+
+
+def resolve_host_loop(host_loop: str, n_iter: int) -> bool:
+    if host_loop == "auto":
+        return n_iter >= 500
+    return host_loop == "on"
 
 
 def main(argv=None):
@@ -85,6 +101,7 @@ def main(argv=None):
             model, x, None, criterion=_crit_targeted,
             eps=eps, n_iter=args.n_iter, norm="linf",
             rng=jax.random.PRNGKey(seed),
+            host_loop=resolve_host_loop(args.host_loop, args.n_iter),
         )
         x_adv = res.x_best
         caption = model.get_outputs(

@@ -424,6 +424,99 @@ class TestEnsembleRunner:
         assert loss_adv < loss_clean, (loss_adv, loss_clean)
 
 
+class _SynthDS4:
+    """4-image caption set (batched-ensemble tests need partial chunks)."""
+
+    CAPS = [
+        ["a shiny red apple on the table", "the red apple sits on a table"],
+        ["a small blue bird flying high", "the blue bird flies in the sky"],
+        ["a green frog on a wet rock", "the frog rests on the stone"],
+        ["an old yellow taxi in the rain", "the taxi drives through rain"],
+    ]
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(i)
+        return {
+            "image": rng.rand(3, 32, 32).astype(np.float32),
+            "image_id": i,
+            "all_captions": self.CAPS[i],
+        }
+
+
+class TestEnsembleBatched:
+    """batch_size>1 on the untargeted stages must reproduce the serial
+    per-image results exactly: attack state is vectorized per example and
+    prompt right-padding is loss-invariant (causal + masked labels)."""
+
+    def _run(self, tmp_path, batch_size, sub):
+        from robustvlm_tpu.vlm_eval.ensemble import AttackSpec, EnsembleRunner
+
+        ds = _SynthDS4()
+        runner = EnsembleRunner(
+            lambda prec: _llava_model(prec),
+            eps=8 / 255, score_fn=_corpus_score_fn(ds),
+            prompt_fn=_spec_prompt_fn,
+            threshold=-1.0,  # keep every item active (full chunks)
+            out_dir=str(tmp_path / sub), max_new_tokens=4,
+            verbose=False, batch_size=batch_size,
+        )
+        schedule = [
+            AttackSpec(kind="none", precision="full"),
+            AttackSpec(precision="full", n_iter=2, gt_idx=0),
+            AttackSpec(precision="full", n_iter=2, gt_idx=1),
+            # warm-start stage: always serial, consumes the batched stages'
+            # best_adv — covers the batched->serial handoff
+            AttackSpec(precision="full", n_iter=2, init_from_best=True),
+        ]
+        return runner.run(ds, schedule, save_adv=False)
+
+    def test_batched_matches_serial(self, tmp_path):
+        r1 = self._run(tmp_path, 1, "serial")
+        r3 = self._run(tmp_path, 3, "batch3")  # chunks [3, 1]: partial chunk
+        assert r1["outputs"] == r3["outputs"]
+        for i in r1["scores"]:
+            assert r1["scores"][i] == pytest.approx(r3["scores"][i], abs=1e-5)
+        for i in r1["adv"]:
+            np.testing.assert_allclose(
+                r1["adv"][i], r3["adv"][i], atol=1e-6
+            )
+
+    def test_targeted_stays_serial_with_per_item_rng(self, tmp_path):
+        """Targeted stages consume per-item rng streams (use_rs): batching
+        must not change them — the runner keeps those stages serial."""
+        from robustvlm_tpu.vlm_eval.ensemble import AttackSpec, EnsembleRunner
+
+        ds = _SynthDS4()
+
+        calls = []
+        model = _llava_model("full")
+        runner = EnsembleRunner(
+            lambda prec: model,
+            eps=8 / 255, score_fn=_corpus_score_fn(ds),
+            prompt_fn=_spec_prompt_fn,
+            threshold=-1.0, out_dir=str(tmp_path), max_new_tokens=4,
+            verbose=False, batch_size=4,
+        )
+        orig = runner._attack_one
+
+        def spy(model, x, spec, x_init, rng):
+            calls.append((int(x.shape[0]), spec.targeted))
+            return orig(model, x, spec, x_init, rng)
+
+        runner._attack_one = spy
+        schedule = [
+            AttackSpec(precision="full", n_iter=2, gt_idx=0),
+            AttackSpec(precision="full", n_iter=2, targeted=True,
+                       target_str="purple elephant"),
+        ]
+        runner.run(ds, schedule, save_adv=False)
+        assert (4, False) in calls, "untargeted stage batched"
+        assert calls.count((1, True)) == 4, "targeted stage serial per item"
+
+
 class TestPope:
     def test_binarize_and_score(self):
         from robustvlm_tpu.vlm_eval.pope import binarize_answer, eval_pope
