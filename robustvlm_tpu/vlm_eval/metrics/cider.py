@@ -17,7 +17,14 @@ ensemble harness must never do it.
 Tokenization approximates PTBTokenizer: lowercase, punctuation stripped,
 whitespace split (scores track pycocoevalcap within noise for typical
 captions; hand-derived golden values in tests/test_vlm_eval.py pin the
-scorer to the pycocoevalcap algorithm on pre-tokenized fixtures).
+scorer to the pycocoevalcap algorithm on pre-tokenized fixtures). Known
+drift vs PTB: possessives ("dog's" -> ["dog's"] here vs ["dog", "'s"]),
+abbreviation periods ("U.S." -> ["u", "s"] vs ["u.s."]), and hyphens
+(split here, PTB keeps "red-striped"). tests/test_cider_oracle.py is a
+skip-if-absent pycocoevalcap oracle (same pattern as the torch parity
+oracles) that activates wherever the package exists: scorer math must
+match to float precision on shared tokens; tokenizer drift is gated at
+score level (<=5 points on the x100 threshold scale).
 """
 
 from __future__ import annotations
