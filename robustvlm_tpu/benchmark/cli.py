@@ -124,22 +124,57 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
     })
 
     if model_name.startswith("ja_clip"):
-        # reference CLIP_benchmark models/ja_clip.py loads rinna's japanese
-        # CLIP via its own pip package (custom BERT text tower + external
-        # sentencepiece tokenizer); out of scope for the native rebuild —
-        # multilingual evaluation of OUR towers runs via --language with the
-        # shipped classname/template tables instead.
-        raise NotImplementedError(
-            "ja_clip models need the external `ja_clip` package (reference "
-            "clip_benchmark/models/ja_clip.py); use --language jp with a "
-            "CLIP tower, or evaluate rinna checkpoints with the reference."
+        # native rinna Japanese CLIP (reference CLIP_benchmark
+        # models/japanese_clip.py loads it via the external `japanese_clip`
+        # package): BERT text tower (models/jaclip, HF-RobertaModel
+        # bit-parity-tested) + the repo's CLIP ViT-B/16 image tower.
+        # Supported here for zeroshot_classification with the jp tables.
+        if args.task != "zeroshot_classification":
+            raise NotImplementedError(
+                "ja_clip supports zeroshot_classification (the reference "
+                "only benchmarks rinna models there)"
+            )
+        from robustvlm_tpu.models.jaclip import JACLIP_CONFIGS
+
+        stripped = model_name[len("ja_clip-"):] if model_name.startswith(
+            "ja_clip-"
+        ) else model_name
+        jkey = (
+            model_name if model_name in JACLIP_CONFIGS
+            else stripped if stripped in JACLIP_CONFIGS
+            else "ja_clip-vit-b-16"
         )
-    cfg = CLIP_CONFIGS[model_name]
-    params = init_clip_params(jax.random.PRNGKey(0), cfg)
-    if pretrained and pretrained != "random":
-        params = load_clip_checkpoint(pretrained, cfg, base_params=params)
-    tok = get_tokenizer(args.bpe_path or None, cfg.context_length)
-    tokenize = lambda t: jnp.asarray(tok(t))
+        jcfg = JACLIP_CONFIGS[jkey]
+        if pretrained and pretrained != "random":
+            from robustvlm_tpu.models.jaclip.import_torch import (
+                import_rinna_jaclip,
+            )
+
+            params = import_rinna_jaclip(pretrained, jcfg)
+        else:
+            from robustvlm_tpu.models.jaclip import init_jaclip_params
+
+            params = init_jaclip_params(jax.random.PRNGKey(0), jcfg)
+        from robustvlm_tpu.models.jaclip import (
+            build_ja_text_classifier, get_ja_tokenizer,
+        )
+
+        cfg = jcfg.vision  # vision-side flow (attacks, resize) is CLIP
+        # --bpe_path doubles as the local HF sentencepiece tokenizer dir
+        tokenize = get_ja_tokenizer(args.bpe_path or None, jcfg)
+        build_classifier = lambda classnames, tpls: build_ja_text_classifier(
+            params, jcfg, tokenize, classnames, tpls
+        )
+    else:
+        cfg = CLIP_CONFIGS[model_name]
+        params = init_clip_params(jax.random.PRNGKey(0), cfg)
+        if pretrained and pretrained != "random":
+            params = load_clip_checkpoint(pretrained, cfg, base_params=params)
+        tok = get_tokenizer(args.bpe_path or None, cfg.context_length)
+        tokenize = lambda t: jnp.asarray(tok(t))
+        build_classifier = lambda classnames, tpls: zeroshot.zero_shot_classifier(
+            params, cfg, tokenize, classnames, tpls
+        )
 
     size = 32 if dataset == "cifar10" else cfg.image_size
     compute_dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
@@ -195,9 +230,7 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
             if args.template == "ensemble"
             else [templates.STD_TEMPLATE + ""]
         )
-        classifier = zeroshot.zero_shot_classifier(
-            params, cfg, tokenize, classnames, tpls
-        )
+        classifier = build_classifier(classnames, tpls)
         # CIFAR path attacks at native 32x32 with in-model resize
         # (reference clip_robustbench.py:105-114)
         logits_fn = make_zero_shot_classifier(
