@@ -245,6 +245,23 @@ def apgd_attack(
             pred_correct = jnp.zeros((b,), bool)
         return loss_indiv, grad, pred_correct
 
+    def fwd_only_eval(xa, inv):
+        """Loss without the pixel gradient — the LAST iteration's gradient
+        is dead (only consumed by the next step / checkpoint restore, and
+        grad_best is never read after the loop), so skipping its backward
+        saves one bwd per attack (~2.2x a fwd; the reference's training
+        APGD makes the same final-iteration saving, apgd_train.py grad
+        guard). Deterministic-model path only; EOT/stochastic models keep
+        the uniform body."""
+        _, (loss_indiv, out) = total_loss(xa, inv)
+        if track_acc:
+            pred_correct = jnp.argmax(out, axis=-1) == inv["y"]
+        else:
+            pred_correct = jnp.zeros((b,), bool)
+        return loss_indiv, jnp.zeros_like(xa), pred_correct
+
+    skip_last_grad = eot_iter <= 1 and model_rng_fn is None
+
     # loop-invariant runtime operands (see the bound-model note above)
     inv = dict(
         x=x,
@@ -338,7 +355,14 @@ def apgd_attack(
         x_new = step_fn(c, a, inv["x"])
         c = dict(c, x_adv_old=c["x_adv"], x_adv=x_new)
 
-        loss_indiv, grad, pred_correct = eval_point(c["x_adv"], inv, i)
+        if skip_last_grad:
+            loss_indiv, grad, pred_correct = jax.lax.cond(
+                xs["need_grad"],
+                lambda: eval_point(c["x_adv"], inv, i),
+                lambda: fwd_only_eval(c["x_adv"], inv),
+            )
+        else:
+            loss_indiv, grad, pred_correct = eval_point(c["x_adv"], inv, i)
         acc = jnp.logical_and(c["acc"], pred_correct) if track_acc else c["acc"]
         fooled = jnp.logical_not(pred_correct)
         x_best_adv = jnp.where(expand(fooled), c["x_adv"], c["x_best_adv"])
@@ -415,6 +439,7 @@ def apgd_attack(
         i=jnp.arange(n_iter, dtype=jnp.int32),
         is_ckpt=is_ckpt,
         window=window,
+        need_grad=jnp.arange(n_iter) < n_iter - 1,
     )
 
     def core(x_adv_, inv_):
@@ -456,7 +481,13 @@ def apgd_attack(
         # every iteration (compile cost O(1) in n_iter). Preferred on
         # backends whose compiler scales poorly with loop trip counts
         # (e.g. remote-compile PJRT plugins); the scan path minimizes
-        # dispatches and stays the default. Batch data + bound model args
+        # dispatches and stays the default. Same math as the scan, but NOT
+        # bit-guaranteed: the two compiled forms may fuse/round ops
+        # differently (measured ~1e-2 loss drift after 3 iters through a
+        # tiny LLaVA even at matmul precision 'highest') and the attack's
+        # sign() amplifies any 1-ulp difference into a distinct — equally
+        # valid — APGD trajectory. tests/test_qualitative_cli.py pins one
+        # configuration where the programs happen to coincide bit-exactly. Batch data + bound model args
         # travel as jit arguments, so new batches and checkpoints hit the
         # SAME compiled program.
         eval_j, step_j = cached

@@ -191,6 +191,7 @@ def llama_forward(
     cache_pos: Optional[jax.Array] = None,
     kv_mask: Optional[jax.Array] = None,
     return_hidden: bool = False,
+    unroll_blocks: bool = False,
 ):
     """Causal LM forward -> fp32 logits (B, T, V).
 
@@ -254,7 +255,19 @@ def llama_forward(
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, blocks)
+    if unroll_blocks:
+        # Python-unrolled block loop: identical math to the scan, but the
+        # per-layer weights reach each dot_general as static slices of the
+        # stacked tree, so XLA folds the transpose into the matmul instead
+        # of relayout-copying the WHOLE (L, d, d) stacks to the scan's
+        # preferred xs layout. Measured on v5e with LLaMA-7B grad-wrt-pixels:
+        # the scan path allocates 4 x 1.0 GiB attention-weight copies (OOM
+        # at 17.3/15.75 GiB); the unrolled path fits. Costs O(L) program
+        # size -> slower compiles; keep the scan default everywhere else.
+        for i in range(cfg.n_layers):
+            x, _ = body(x, jax.tree.map(lambda a, i=i: a[i], blocks))
+    else:
+        x, _ = jax.lax.scan(body, x, blocks)
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     if return_hidden:
         return x

@@ -147,15 +147,17 @@ def llava_forward(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     flash: Optional[bool] = None,
+    unroll_blocks: bool = False,
 ) -> jax.Array:
     """Full multimodal forward -> fp32 logits (B, T_pre+P+T_post, V)."""
     img = encode_images(
         params, pixels01, cfg, compute_dtype=compute_dtype, remat=remat
     )
     embeds = splice_embeddings(params, img, pre_tokens, post_tokens, cfg)
+    kw = {"unroll_blocks": True} if unroll_blocks and cfg.lm_family == "llama" else {}
     return _lm_forward(
         params, cfg, inputs_embeds=embeds,
-        compute_dtype=compute_dtype, remat=remat, flash=flash,
+        compute_dtype=compute_dtype, remat=remat, flash=flash, **kw,
     )
 
 
@@ -171,6 +173,7 @@ def llava_per_sample_loss(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     reduction_per_token: str = "mean",
+    unroll_blocks: bool = False,
 ) -> jax.Array:
     """Teacher-forced per-sample CE over the answer span — the attack target
     (reference EvalModelLLAVA.__call__ returns HF-internal CE over labels
@@ -183,7 +186,7 @@ def llava_per_sample_loss(
     """
     logits = llava_forward(
         params, pixels01, pre_tokens, post_tokens, cfg,
-        compute_dtype=compute_dtype, remat=remat,
+        compute_dtype=compute_dtype, remat=remat, unroll_blocks=unroll_blocks,
     )
     t_post = post_tokens.shape[1]
     # logits predicting post_tokens[t] live at absolute position (T-t_post+t-1)

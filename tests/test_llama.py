@@ -29,6 +29,24 @@ class TestForward:
         assert logits.shape == (2, 10, CFG.vocab_size)
         assert np.isfinite(np.asarray(logits)).all()
 
+    def test_unrolled_blocks_match_scan(self):
+        """unroll_blocks=True (the 7B single-chip memory path: static
+        per-layer slices fold transposes into the dots instead of
+        relayout-copying the stacked weights) is the same math as the
+        scan."""
+        params = init_llama_params(jax.random.PRNGKey(0), CFG)
+        toks = jnp.asarray(
+            np.random.RandomState(2).randint(0, CFG.vocab_size, (2, 9))
+        )
+        l_scan = llama_forward(
+            params, toks, cfg=CFG, compute_dtype=jnp.float32
+        )
+        l_unroll = llama_forward(
+            params, toks, cfg=CFG, compute_dtype=jnp.float32,
+            unroll_blocks=True,
+        )
+        np.testing.assert_allclose(l_scan, l_unroll, atol=1e-5)
+
     def test_causality(self):
         """Changing a future token must not affect past logits."""
         params = init_llama_params(jax.random.PRNGKey(0), CFG)
