@@ -57,7 +57,7 @@ import json
 import os
 import time
 
-import jax
+import jax  # noqa: E402  (cache config must precede first compile)
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -75,7 +75,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8))
 # 100 iterations = the production eval protocol (BASELINE.md: AutoAttack
 # APGD-CE/APGD-T at 100 iters) and amortizes the attack's fixed setup
 # (init eval, first-step bookkeeping): measured 312 steps/s at 100 iters
-# vs 298 at 20 on the same code.
+# vs 298 at 20 on the same code. Round 3: the final-iteration fwd-only
+# epilogue (skip_last_grad, attacks/apgd.py) reads 309.4 at 100 iters and
+# 279.8 at 20 vs 268.6-274.8 without it (A/B, same session) — the saved
+# backward is ~1/(3.2*(n_iter+1)) of the attack.
 N_ITER = int(os.environ.get("BENCH_ITERS", 100))
 
 
@@ -84,6 +87,89 @@ def _timed_run(attack):
     res = attack()
     float(jnp.sum(res.x_best))
     return time.perf_counter() - t0
+
+
+def main_train():
+    """BENCH_TRAIN=1: the second driver metric — FARE fine-tune imgs/sec/chip
+    (BASELINE.json "FARE fine-tune imgs/sec/chip"; recipe README.md:275-284 /
+    BASELINE.md: ViT-L/14, PGD-10 inner attack on the unsupervised l2
+    embedding loss, batch 128, AdamW).
+
+    Same operand discipline as the attack bench: params/opt-state as jit
+    arguments (donated), persistent compile cache, scalar-readback sync.
+    grad_accum splits the 128-batch into chunks scanned on-device (one
+    optimizer update per step, numerically identical): per-example fwd+bwd
+    cost RISES with batch on this chip (bench curve above), so chunked
+    execution is faster AND caps HBM. BENCH_TRAIN_ACCUM tunes it.
+
+    vs_baseline: no A100 FARE throughput was published, so the anchor is
+    DERIVED from the same A100 attack anchor (80 fwd+bwd evals/s): one FARE
+    step per example costs 10 inner fwd+bwd evals + frozen fwd + 2 outer
+    fwds + 1 outer param-bwd ~= 11.9 eval-equivalents (fwd ~= 0.31 eval,
+    param-bwd ~= 0.69 eval at the measured 2.2x bwd/fwd ratio)
+    -> ~= 6.7 imgs/s/A100.
+
+    Measured (v5e, round 3): 25.71 imgs/s/chip at batch 128 / accum 16
+    (chunks of 8, the attack bench's per-example throughput peak)
+    = 3.84x the derived anchor — consistent with the attack bench's 3.85x,
+    as expected since the train step is ~12 attack-evals of the same tower.
+    Ceiling check: 11.9 eval-equivalents/img at the 333 evals/s composable
+    ceiling -> ~28 imgs/s/chip; 25.7 is ~92% of it.
+    """
+    import numpy as np
+
+    from robustvlm_tpu.models.clip import CLIP_CONFIGS, init_clip_params
+    from robustvlm_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step
+
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", 128))
+    accum = int(os.environ.get("BENCH_TRAIN_ACCUM", 16))
+    n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 8))
+
+    clip_cfg = CLIP_CONFIGS["ViT-L-14"]
+    tcfg = TrainConfig(
+        loss="l2", inner_loss="l2", attack="pgd", eps=4.0 / 255.0,
+        iterations_adv=10, stepsize_adv=1.0 / 255.0, opt="adamw",
+        compute_dtype="bfloat16", remat="dots", grad_accum=accum,
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+    # a real copy: params is donated to the step, params_orig must not
+    # alias its buffers
+    params_orig = jax.tree.map(jnp.array, params)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    step_fn = jax.jit(
+        make_train_step(tcfg, clip_cfg), donate_argnums=(0, 2)
+    )
+
+    npr = np.random.RandomState(0)
+    x = jnp.asarray(npr.rand(batch, 3, 224, 224).astype(np.float32))
+
+    def run(params, opt_state, n):
+        for s in range(n):
+            params, opt_state, metrics = step_fn(
+                params, params_orig, opt_state, x, None,
+                jax.random.PRNGKey(s), s,
+            )
+        float(metrics["loss"])  # scalar readback = remote sync
+        return params, opt_state
+
+    params, opt_state = run(params, opt_state, 1)  # compile + warmup
+    t0 = time.perf_counter()
+    params, opt_state = run(params, opt_state, n_steps)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.local_device_count()
+    value = batch * n_steps / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "fare_train_imgs_per_sec_per_chip_vitl14",
+                "value": round(value, 2),
+                "unit": "imgs/s/chip",
+                "vs_baseline": round(value / 6.7, 3),
+            }
+        )
+    )
 
 
 def main():
@@ -124,10 +210,13 @@ def main():
 
     criterion = lambda o, t: ce_loss(o, t, reduction="none")
 
+    skip_last = os.environ.get("BENCH_SKIP_LAST_GRAD")
+
     def attack():
         return apgd_attack(
             model_fn, x, y, criterion=criterion, eps=eps,
             n_iter=N_ITER, norm="linf",
+            skip_last_grad=None if skip_last is None else skip_last == "1",
         )
 
     # compile + warmup; sync via scalar readback (block_until_ready does
@@ -143,6 +232,18 @@ def main():
 
     n_chips = jax.local_device_count()
     value = steps_per_sec / n_chips
+    # Roofline verdict (round-2 audit, measured on this v5e — full trail in
+    # the module docstring): pure bf16 matmul at the exact qkv shape
+    # calibrates this chip to 140.4 TF/s (not the 197 headline); the
+    # in-model rate is 135 TF/s (96% of practical); composing the measured
+    # matmul skeleton + attention fwd + FLOP-fair attention bwd gives a
+    # ~24 ms/step ceiling at b8 => ~333 steps/s/chip. The >=5x-A100 north
+    # star is therefore out of reach on v5e AT THIS FLOP COUNT (333/80 =
+    # 4.2x); on the north-star v5p (459 TF/s bf16 peak vs 197), holding the
+    # measured fraction-of-peak (135/197 = 0.685) projects 0.685*459 = 314
+    # TF/s in-model => x2.33 => ~7xx steps/s/chip ~ 9x A100.
+    ceiling = 333.0
+    v5p_scale = (0.685 * 459.0) / 135.0
     print(
         json.dumps(
             {
@@ -150,10 +251,28 @@ def main():
                 "value": round(value, 2),
                 "unit": "example-steps/s/chip",
                 "vs_baseline": round(value / A100_ANCHOR_STEPS_PER_SEC, 3),
+                "roofline": {
+                    "measured_matmul_tf_s": 140.4,
+                    "in_model_tf_s": 135.0,
+                    "composable_ceiling_steps_per_sec_chip": ceiling,
+                    "pct_of_ceiling": round(100.0 * value / ceiling, 1),
+                    "ceiling_vs_a100": round(
+                        ceiling / A100_ANCHOR_STEPS_PER_SEC, 2
+                    ),
+                    "v5p_projection_steps_per_sec_chip": round(
+                        value * v5p_scale, 1
+                    ),
+                    "v5p_projection_vs_a100": round(
+                        value * v5p_scale / A100_ANCHOR_STEPS_PER_SEC, 2
+                    ),
+                },
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_TRAIN"):
+        main_train()
+    else:
+        main()

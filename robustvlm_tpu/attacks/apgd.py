@@ -133,6 +133,7 @@ def apgd_attack(
     model_rng_fn: Optional[Callable] = None,
     host_loop: bool = False,
     criterion_args: tuple = (),
+    skip_last_grad: Optional[bool] = None,
 ) -> APGDResult:
     """Run APGD, maximizing `criterion(model_fn(x_adv), y)` per example.
 
@@ -260,7 +261,13 @@ def apgd_attack(
             pred_correct = jnp.zeros((b,), bool)
         return loss_indiv, jnp.zeros_like(xa), pred_correct
 
-    skip_last_grad = eot_iter <= 1 and model_rng_fn is None
+    # default on for deterministic models; pass False to trade the saved
+    # final backward for a smaller program (the lax.cond carries both
+    # branches' temporaries — measurable HBM on 7B-scale models)
+    if skip_last_grad is None:
+        skip_last_grad = eot_iter <= 1 and model_rng_fn is None
+    else:
+        skip_last_grad = skip_last_grad and eot_iter <= 1 and model_rng_fn is None
 
     # loop-invariant runtime operands (see the bound-model note above)
     inv = dict(
@@ -348,19 +355,18 @@ def apgd_attack(
     step_fns = {"linf": step_linf, "l2": step_l2, "l1": step_l1}
     step_fn = step_fns[norm]
 
-    def body(c, xs, inv):
+    def body(c, xs, inv, fwd_only=False):
         i, ck, kwin = xs["i"], xs["is_ckpt"], xs["window"]
         a = jnp.where(i > 0, 0.75, 1.0).astype(x.dtype)
 
         x_new = step_fn(c, a, inv["x"])
         c = dict(c, x_adv_old=c["x_adv"], x_adv=x_new)
 
-        if skip_last_grad:
-            loss_indiv, grad, pred_correct = jax.lax.cond(
-                xs["need_grad"],
-                lambda: eval_point(c["x_adv"], inv, i),
-                lambda: fwd_only_eval(c["x_adv"], inv),
-            )
+        # `fwd_only` is a TRACE-time flag (the final-iteration epilogue):
+        # the same bookkeeping with the backward skipped — no lax.cond, so
+        # no duplicated branch buffers in the compiled program
+        if fwd_only:
+            loss_indiv, grad, pred_correct = fwd_only_eval(c["x_adv"], inv)
         else:
             loss_indiv, grad, pred_correct = eval_point(c["x_adv"], inv, i)
         acc = jnp.logical_and(c["acc"], pred_correct) if track_acc else c["acc"]
@@ -439,15 +445,30 @@ def apgd_attack(
         i=jnp.arange(n_iter, dtype=jnp.int32),
         is_ckpt=is_ckpt,
         window=window,
-        need_grad=jnp.arange(n_iter) < n_iter - 1,
     )
 
     def core(x_adv_, inv_):
         """Init eval + the whole attack scan as ONE program; inv_ entries
-        are tracers here, so inner closures never bake constants."""
+        are tracers here, so inner closures never bake constants. With
+        skip_last_grad the scan covers iterations 0..n-2 and the final
+        iteration runs as a forward-only EPILOGUE (its gradient is dead:
+        only the next step / checkpoint restore would read it, and
+        grad_best is never read after the loop — the reference training
+        APGD makes the same saving). One backward (~2.2x a fwd) saved per
+        attack: ~0.7% at 100 iters, ~3% at the 20-iter training protocol."""
         loss0, grad0, correct0 = eval_point(x_adv_, inv_)
         carry = init_carry(x_adv_, loss0, grad0, correct0, inv_)
-        carry, _ = jax.lax.scan(lambda c, s: body(c, s, inv_), carry, xs)
+        if skip_last_grad:
+            head = jax.tree.map(lambda a: a[:-1], xs)
+            carry, _ = jax.lax.scan(
+                lambda c, s: body(c, s, inv_), carry, head
+            )
+            last = jax.tree.map(lambda a: a[-1], xs)
+            carry, _ = body(carry, last, inv_, fwd_only=True)
+        else:
+            carry, _ = jax.lax.scan(
+                lambda c, s: body(c, s, inv_), carry, xs
+            )
         return carry
 
     # The compiled core is cached at module level keyed on everything the
@@ -461,7 +482,7 @@ def apgd_attack(
         norm, n_iter, float(eps), float(alpha), int(eot_iter),
         bool(use_fused_kernel), track_acc, mask is not None,
         bool(host_loop), None if topk_init is None else float(topk_init),
-        from_init, x.shape, str(x.dtype),
+        from_init, x.shape, str(x.dtype), bool(skip_last_grad),
     )
     cached = _CORE_CACHE.get(cache_key)
     if cached is None:
@@ -469,6 +490,9 @@ def apgd_attack(
             cached = (
                 jax.jit(eval_point),
                 jax.jit(lambda c, s, inv_: body(c, s, inv_)[0]),
+                jax.jit(
+                    lambda c, s, inv_: body(c, s, inv_, fwd_only=True)[0]
+                ) if skip_last_grad else None,
             )
         else:
             cached = jax.jit(core)
@@ -490,11 +514,16 @@ def apgd_attack(
         # configuration where the programs happen to coincide bit-exactly. Batch data + bound model args
         # travel as jit arguments, so new batches and checkpoints hit the
         # SAME compiled program.
-        eval_j, step_j = cached
+        eval_j, step_j, final_j = cached
         loss0, grad0, correct0 = eval_j(x_adv, inv)
         carry = init_carry(x_adv, loss0, grad0, correct0, inv)
-        for it in range(n_iter):
+        n_full = n_iter - 1 if final_j is not None else n_iter
+        for it in range(n_full):
             carry = step_j(carry, jax.tree.map(lambda a: a[it], xs), inv)
+        if final_j is not None:
+            carry = final_j(
+                carry, jax.tree.map(lambda a: a[n_iter - 1], xs), inv
+            )
     else:
         carry = cached(x_adv, inv)
 

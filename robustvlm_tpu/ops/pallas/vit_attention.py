@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -232,6 +233,10 @@ def vit_attention(
         return t
 
     hp = heads_per_program
+    if hp is None and os.environ.get("VIT_ATTN_HP"):
+        # perf-sweep hook: override the VMEM-budget heuristic from the
+        # environment (scripts/perf_sweep.py hp ablations)
+        hp = min(int(os.environ["VIT_ATTN_HP"]), bh)
     if hp is not None and bh % hp:
         raise ValueError(f"heads_per_program {hp} must divide B*H {bh}")
     out = _vit_attn(flat_pad(q), flat_pad(k), flat_pad(v), n, hp, interpret)
