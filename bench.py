@@ -24,7 +24,11 @@ scripts/perf_sweep.py):
     (257,64)x(64,257) matmuls across the chip's 4 MXUs (~42 TF/s in-model);
     Pallas batched dots serialize (~5-8 TF/s), so the whole-sequence fused
     kernel (ops/pallas/vit_attention.py, 228/s @b32) and the flash kernel
-    (101/s) both lose to XLA here and stay off the default path.
+    (101/s) both lose to XLA here and stay off the default path. Round-3
+    heads-per-program packing sweep at b8 (VIT_ATTN_HP env): hp=8 248.5,
+    hp=16 250.2 steps/s — still ~20% behind the einsum path's ~310; hp>=32
+    fails to compile (3 fp32 (hp,272,272) temporaries overflow VMEM). The
+    packing lever is measured and closed.
   - params pre-cast to bf16: +2% (240.7/s bare).
   - batch data + params as LOOP OPERANDS, never closure constants: the
     eager scan with closed-over params ran 180/s; with everything as

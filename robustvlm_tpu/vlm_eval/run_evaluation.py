@@ -521,6 +521,27 @@ def main(argv=None):
                 results["vizwiz" + sfx] = evaluate_vqa(args, "vizwiz", **kw)
             if args.eval_ok_vqa:
                 results["ok_vqa" + sfx] = evaluate_vqa(args, "ok_vqa", **kw)
+    # per-shot means across trials (reference run_evaluation.py:493-501 /
+    # :530-536: results carry {"trials": [...], "mean": nanmean(...)})
+    if args.num_trials > 1:
+        for num_shots in args.shots:
+            for base in ("coco", "flickr", "vqav2", "textvqa", "vizwiz",
+                         "ok_vqa"):
+                tk = [
+                    f"{base}_shots{num_shots}_trial{t}"
+                    for t in range(args.num_trials)
+                ]
+                tk = [k for k in tk if k in results]
+                if not tk:
+                    continue
+                keys = set().union(*(results[k].keys() for k in tk))
+                results[f"{base}_shots{num_shots}_mean"] = {
+                    m: float(np.nanmean([
+                        results[k][m] for k in tk if m in results[k]
+                    ]))
+                    for m in keys
+                    if isinstance(results[tk[0]].get(m), (int, float))
+                }
     results["total_wall_s"] = round(time.time() - t0, 1)
     (out / "results.json").write_text(json.dumps(results, indent=2))
     print(json.dumps(results))

@@ -360,6 +360,30 @@ class TestFewShotE2E:
             ])
 
 
+class TestTrialMeans:
+    def test_multi_trial_mean_aggregation(self, tmp_path):
+        """num_trials>1 records per-trial results AND the per-shot nanmean
+        (reference run_evaluation.py:493-501)."""
+        from robustvlm_tpu.vlm_eval.run_evaluation import main
+
+        img_dir, ann = _coco_fixture(tmp_path)
+        res = main([
+            "--model", "open_flamingo", "--model_size", "test-tiny",
+            "--eval_coco", "--coco_image_dir", str(img_dir),
+            "--coco_annotations", str(ann),
+            "--attack", "none", "--num_samples", "2",
+            "--max_new_tokens", "4",
+            "--shots", "0", "--num_trials", "2", "--trial_seeds", "0", "1",
+            "--out_base_path", str(tmp_path / "out"),
+        ])
+        assert "coco_shots0_trial0" in res and "coco_shots0_trial1" in res
+        mean = res["coco_shots0_mean"]
+        assert mean["cider"] == pytest.approx(np.nanmean([
+            res["coco_shots0_trial0"]["cider"],
+            res["coco_shots0_trial1"]["cider"],
+        ]))
+
+
 class TestFewShotVQAE2E:
     def test_vqa_shots2_demo_answers_in_prompt(self, tmp_path, monkeypatch):
         from PIL import Image
