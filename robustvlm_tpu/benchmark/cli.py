@@ -139,11 +139,15 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
         stripped = model_name[len("ja_clip-"):] if model_name.startswith(
             "ja_clip-"
         ) else model_name
-        jkey = (
-            model_name if model_name in JACLIP_CONFIGS
-            else stripped if stripped in JACLIP_CONFIGS
-            else "ja_clip-vit-b-16"
-        )
+        if model_name in JACLIP_CONFIGS:
+            jkey = model_name
+        elif stripped in JACLIP_CONFIGS:
+            jkey = stripped
+        else:
+            raise KeyError(
+                f"unknown ja_clip model {model_name!r}; known: "
+                f"{sorted(JACLIP_CONFIGS)}"
+            )
         jcfg = JACLIP_CONFIGS[jkey]
         if pretrained and pretrained != "random":
             from robustvlm_tpu.models.jaclip.import_torch import (

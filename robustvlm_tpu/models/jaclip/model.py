@@ -13,9 +13,11 @@ classifier, and benchmark plumbing all apply unchanged.
 Verifiable parity: the encoder matches `transformers.RobertaModel`
 (constructible offline) bit-for-bit on random weights via the importer in
 `import_torch.py` (tests/test_jaclip.py). The rinna-checkpoint key layout
-is documented there; the unverifiable-here parts (rinna's exact pooling
-and position-id convention) are explicit config knobs (`pool`,
-`position_offset`) with the HF-RoBERTa defaults.
+is documented there. rinna's tokenize/position protocol (CLS prepended by
+hand with add_special_tokens=False, explicit position_ids=arange — the
+wrapper's "you must input ... position_ids" warning) is reproduced by
+`wrap_hf_ja_tokenizer` + `position_convention='arange'` on the b-16
+config; the 'roberta' convention remains for the HF parity oracle.
 """
 
 from __future__ import annotations
@@ -45,6 +47,14 @@ class BertTextConfig:
     # RoBERTa pads positions: pad_token_id=1, real tokens start at 2
     pad_token_id: int = 1
     position_offset: int = 2
+    # 'roberta': HF create_position_ids_from_input_ids (cumsum + offset,
+    #   pads get pad_token_id) — what RobertaModel does when no position_ids
+    #   are passed; the parity oracle convention.
+    # 'arange': rinna's ja_clip protocol — tokenize() hands the model
+    #   explicit position_ids = arange(seq_len) for every row (pads
+    #   included); the wrapper's "you must input ... position_ids" warning
+    #   exists because the HF default above would silently differ.
+    position_convention: str = "roberta"
     pool: str = "cls"  # 'cls' | 'mean'
 
 
@@ -61,9 +71,12 @@ class JaCLIPConfig:
 
 
 JACLIP_CONFIGS: Dict[str, JaCLIPConfig] = {
-    # rinna/japanese-clip-vit-b-16: ViT-B/16 tower + japanese-roberta-base
+    # rinna/japanese-clip-vit-b-16: ViT-B/16 tower + japanese-roberta-base;
+    # arange positions per rinna's tokenize protocol (see BertTextConfig)
     "ja_clip-vit-b-16": JaCLIPConfig(
-        "ja_clip-vit-b-16", BertTextConfig(), CLIP_CONFIGS["ViT-B-16"],
+        "ja_clip-vit-b-16",
+        BertTextConfig(position_convention="arange"),
+        CLIP_CONFIGS["ViT-B-16"],
     ),
     "test-tiny": JaCLIPConfig(
         "test-tiny",
@@ -80,9 +93,13 @@ JACLIP_CONFIGS: Dict[str, JaCLIPConfig] = {
 def default_position_ids(
     input_ids: jax.Array, attention_mask: jax.Array, cfg: BertTextConfig
 ) -> jax.Array:
-    """RoBERTa position convention: positions count real tokens only,
-    starting at `position_offset`; pad positions get pad_token_id (their
-    embedding is trained-irrelevant and masked out of attention anyway)."""
+    """Position ids per `cfg.position_convention` (see BertTextConfig):
+    'roberta' counts real tokens from `position_offset` with pads pinned to
+    pad_token_id; 'arange' is rinna's explicit arange(seq_len) protocol."""
+    if cfg.position_convention == "arange":
+        return jnp.broadcast_to(
+            jnp.arange(input_ids.shape[-1], dtype=jnp.int32), input_ids.shape
+        )
     pos = jnp.cumsum(attention_mask, axis=-1) - 1 + cfg.position_offset
     return jnp.where(attention_mask > 0, pos, cfg.pad_token_id).astype(jnp.int32)
 
@@ -178,30 +195,55 @@ def encode_image(params: Params, x: jax.Array, cfg: JaCLIPConfig, **kw):
     return clip_encode(params, x, cfg.vision, **kw)
 
 
+def wrap_hf_ja_tokenizer(tok, max_len: int = 77):
+    """rinna's ja_clip.tokenize protocol over an HF tokenizer object:
+    encode with add_special_tokens=False to max_len-1, then prepend
+    cls_token_id by hand (rinna's T5-based japanese-roberta-base tokenizer
+    does NOT auto-add [CLS]; the package prepends it explicitly). Exposed
+    separately from `get_ja_tokenizer` so the protocol is unit-testable
+    without a downloadable tokenizer dir."""
+    cls_id = getattr(tok, "cls_token_id", None)
+    if cls_id is None:
+        cls_id = getattr(tok, "bos_token_id", None)
+    if cls_id is None:
+        raise ValueError(
+            "ja_clip tokenizer needs a cls_token_id (or bos_token_id) to "
+            "prepend — rinna's protocol pools the prepended [CLS] slot"
+        )
+
+    def tokenize(texts):
+        out = tok(
+            list(texts), padding="max_length", truncation=True,
+            max_length=max_len - 1, add_special_tokens=False,
+            return_tensors="np",
+        )
+        ids = np.asarray(out["input_ids"], np.int32)
+        mask = np.asarray(out["attention_mask"], np.int32)
+        ids = np.concatenate(
+            [np.full((ids.shape[0], 1), cls_id, np.int32), ids], axis=1
+        )
+        mask = np.concatenate(
+            [np.ones((mask.shape[0], 1), np.int32), mask], axis=1
+        )
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    return tokenize
+
+
 def get_ja_tokenizer(path: Optional[str], cfg: JaCLIPConfig, max_len: int = 77):
     """tokenize(texts) -> (input_ids, attention_mask) int32 arrays.
 
     With a local HF tokenizer dir (rinna/japanese-roberta-base layout) this
-    is the real sentencepiece tokenizer the reference's ja_clip.tokenize
-    wraps (max_length padding + truncation, CLS prepended). Without one
-    (no-egress test environments) a deterministic hash tokenizer keeps the
-    pipeline runnable on random weights."""
+    follows rinna's ja_clip.tokenize exactly (see `wrap_hf_ja_tokenizer`).
+    Without one (no-egress test environments) a deterministic hash tokenizer
+    keeps the pipeline runnable on random weights — it mirrors the same
+    protocol: a CLS slot (id 0) first, then content tokens."""
     if path:
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(path)
-
-        def tokenize(texts):
-            out = tok(
-                list(texts), padding="max_length", truncation=True,
-                max_length=max_len, return_tensors="np",
-            )
-            return (
-                jnp.asarray(out["input_ids"], jnp.int32),
-                jnp.asarray(out["attention_mask"], jnp.int32),
-            )
-
-        return tokenize
+        return wrap_hf_ja_tokenizer(
+            AutoTokenizer.from_pretrained(path), max_len
+        )
 
     v = cfg.text.vocab_size
 
@@ -209,7 +251,12 @@ def get_ja_tokenizer(path: Optional[str], cfg: JaCLIPConfig, max_len: int = 77):
         ids = np.full((len(texts), max_len), cfg.text.pad_token_id, np.int32)
         mask = np.zeros((len(texts), max_len), np.int32)
         for i, t in enumerate(texts):
-            toks = [2 + (hash(w) % (v - 3)) for w in str(t).split()][: max_len]
+            # CLS slot (id 0, outside the hash range) first — the 'cls'
+            # pool reads h[:, 0], which must be a constant token like in
+            # the real protocol
+            toks = [0] + [
+                2 + (hash(w) % (v - 3)) for w in str(t).split()
+            ][: max_len - 1]
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1
         return jnp.asarray(ids), jnp.asarray(mask)

@@ -235,8 +235,14 @@ def vit_attention(
     hp = heads_per_program
     if hp is None and os.environ.get("VIT_ATTN_HP"):
         # perf-sweep hook: override the VMEM-budget heuristic from the
-        # environment (scripts/perf_sweep.py hp ablations)
-        hp = min(int(os.environ["VIT_ATTN_HP"]), bh)
+        # environment (scripts/perf_sweep.py hp ablations). Sweeps pass
+        # round numbers that needn't divide B*H — snap DOWN to the nearest
+        # divisor so a sweep never crashes mid-grid (explicit
+        # heads_per_program args still get the strict divisor check below)
+        want = int(os.environ["VIT_ATTN_HP"])
+        if want < 1:
+            raise ValueError(f"VIT_ATTN_HP must be >= 1, got {want}")
+        hp = max(k for k in range(1, min(want, bh) + 1) if bh % k == 0)
     if hp is not None and bh % hp:
         raise ValueError(f"heads_per_program {hp} must divide B*H {bh}")
     out = _vit_attn(flat_pad(q), flat_pad(k), flat_pad(v), n, hp, interpret)

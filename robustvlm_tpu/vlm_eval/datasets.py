@@ -90,7 +90,13 @@ class CaptionDataset:
         self.transform = default_image_transform(size)
         caps, files, meta = _parse_caption_annotations(annotations_path)
         ids = [i for i in files if i in caps]
-        if split is not None and any("split" in meta[i] for i in ids):
+        # whether the split filter actually did anything — plain COCO jsons
+        # have no split fields, so a 'train' view of one is just the whole
+        # file (the caller may need to know the pool isn't a real train set)
+        self.split_filtered = (
+            split is not None and any("split" in meta[i] for i in ids)
+        )
+        if self.split_filtered:
             want = "train" if split == "train" else "test"
             ids = [i for i in ids if meta[i].get("split") == want]
         self.ids = ids[:n_samples]
@@ -195,11 +201,19 @@ class VQADataset:
 class TensorCaptionDataset:
     """Reload saved adversarial images (reference TensorCaptionDataset,
     eval_datasets.py:211-243 + --from_saved): per-image arrays under
-    <root>/<image_id>.npy (or .pt)."""
+    <root>/<image_id>.npy (or .pt).
 
-    def __init__(self, base: CaptionDataset, adv_root: str):
+    `strict` (default True) raises when a selected image has no saved
+    tensor — a silent clean-image fallback would report clean performance
+    as adversarial robustness. Missing files usually mean the reload run's
+    --seed/--num_samples differ from the saving run's (the eval subset is
+    drawn with the trial seed, so the selections no longer overlap)."""
+
+    def __init__(self, base: CaptionDataset, adv_root: str,
+                 *, strict: bool = True):
         self.base = base
         self.adv_root = Path(adv_root)
+        self.strict = strict
 
     def __len__(self):
         return len(self.base)
@@ -208,17 +222,23 @@ class TensorCaptionDataset:
         item = self.base[i]
         iid = item["image_id"]
         npy = self.adv_root / f"{iid}.npy"
+        pt = self.adv_root / f"{iid}.pt"
         if npy.exists():
             item["image"] = np.load(npy).astype(np.float32)
-        else:
-            pt = self.adv_root / f"{iid}.pt"
-            if pt.exists():
-                import torch
+        elif pt.exists():
+            import torch
 
-                item["image"] = (
-                    torch.load(pt, map_location="cpu", weights_only=False)
-                    .float().numpy()
-                )
+            item["image"] = (
+                torch.load(pt, map_location="cpu", weights_only=False)
+                .float().numpy()
+            )
+        elif self.strict:
+            raise FileNotFoundError(
+                f"no saved adversarial tensor for image_id={iid} under "
+                f"{self.adv_root} — re-run with the SAME --seed and "
+                f"--num_samples as the saving run (or strict=False to "
+                f"fall back to clean images)"
+            )
         return item
 
 

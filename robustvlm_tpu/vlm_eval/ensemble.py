@@ -229,6 +229,16 @@ class EnsembleRunner:
             else:
                 groups = [[j] for j in active]
             for grp in groups:
+                # pad a ragged final group to batch_size by repeating its
+                # last item: the compiled attack core caches on x.shape, so
+                # a distinct remainder shape would cost a fresh multi-
+                # minute remote compile per stage (and the shrinking active
+                # set can produce a different remainder every stage).
+                # Per-example attack state is vectorized, so duplicates
+                # can't perturb the real rows; pad results are discarded.
+                n_real = len(grp)
+                if batchable and n_real < self.batch_size:
+                    grp = grp + [grp[-1]] * (self.batch_size - n_real)
                 # prev-best stage re-attacks the per-image best gt caption
                 # (serial-only: init_from_best stages are never batched)
                 eff_specs = []
@@ -277,7 +287,7 @@ class EnsembleRunner:
                     max_new_tokens=self.max_new_tokens,
                     num_beams=self.num_beams,
                 )
-                for pos, j in enumerate(grp):
+                for pos, j in enumerate(grp[:n_real]):
                     iid = ids[j]
                     out = outs[pos]
                     score = self.score_fn(out, items[j])

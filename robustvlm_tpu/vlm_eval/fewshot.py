@@ -74,6 +74,12 @@ def build_context_text(
             model.get_caption_prompt(d["caption"].strip()) for d in demos
         )
     else:
+        if any(not d.get("answers") for d in demos):
+            raise ValueError(
+                "few-shot VQA demo without annotator answers — the demo "
+                "pool must come from an ANNOTATED train split (pass the "
+                "--<dataset>_train_questions/_train_annotations flags)"
+            )
         ctx = "".join(
             model.get_vqa_prompt(d["question"], d["answers"][0])
             for d in demos
@@ -115,9 +121,17 @@ class FewShotDataset:
 
     def __getitem__(self, i: int) -> Dict:
         item = dict(self.base[i])
-        demos = sample_demos(
-            self.query_set, self.effective_num_shots, self.seed, i
-        )
+        # never let an item demonstrate ITSELF: when the demo pool falls
+        # back to the eval files (tiny CI fixtures; plain-COCO jsons), the
+        # eval item could otherwise appear in its own context with its
+        # ground truth teacher-forced — direct answer leakage. With a real
+        # disjoint train pool this filter is a no-op.
+        key = item.get("question_id", item.get("image_id"))
+        pool = [
+            d for d in self.query_set
+            if d.get("question_id", d.get("image_id")) != key
+        ]
+        demos = sample_demos(pool, self.effective_num_shots, self.seed, i)
         item["demos"] = demos
         if (
             self.num_shots > 0 and demos

@@ -14,17 +14,23 @@ when the reference scores the full 500-image result set per attack stage
 degenerate (log N = 0 makes every TF-IDF weight vanish), which is why the
 ensemble harness must never do it.
 
-Tokenization approximates PTBTokenizer: lowercase, punctuation stripped,
-whitespace split (scores track pycocoevalcap within noise for typical
-captions; hand-derived golden values in tests/test_vlm_eval.py pin the
-scorer to the pycocoevalcap algorithm on pre-tokenized fixtures). Known
-drift vs PTB: possessives ("dog's" -> ["dog's"] here vs ["dog", "'s"]),
-abbreviation periods ("U.S." -> ["u", "s"] vs ["u.s."]), and hyphens
-(split here, PTB keeps "red-striped"). tests/test_cider_oracle.py is a
+Tokenization is a native PTB-style tokenizer reproducing the effective
+behavior of pycocoevalcap's PTBTokenizer pipeline (Stanford PTBTokenizer
+-preserveLines -lowerCase, then the PUNCTUATIONS-list filter): possessives
+and contractions split into their own tokens ("dog's" -> ["dog", "'s"],
+"isn't" -> ["is", "n't"]), acronym periods kept ("U.S." -> ["u.s."]),
+hyphenated words intact ("red-striped"), digit-internal commas kept
+("1,000"), and all pure-punctuation tokens (including PTB's "--", "...",
+bracket and quote tokens) dropped. Hand-derived golden values in
+tests/test_vlm_eval.py pin the scorer to the pycocoevalcap algorithm on
+pre-tokenized fixtures; tests/test_vlm_eval.py::TestPtbTokenize pins the
+tokenizer on the cases above. Residual drift vs the Java tokenizer:
+known-abbreviation periods ("etc.", "mr.") are stripped here, and PTB's
+forward-slash escaping is not reproduced. tests/test_cider_oracle.py is a
 skip-if-absent pycocoevalcap oracle (same pattern as the torch parity
 oracles) that activates wherever the package exists: scorer math must
-match to float precision on shared tokens; tokenizer drift is gated at
-score level (<=5 points on the x100 threshold scale).
+match to float precision on shared tokens; residual tokenizer drift is
+gated at score level (<=5 points on the x100 threshold scale).
 """
 
 from __future__ import annotations
@@ -34,14 +40,48 @@ import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence
 
-_PUNCT = re.compile(r"[^\w\s']")
 SIGMA = 6.0
 N_MAX = 4
 
+# letter-period sequences ("u.s.", "a.m.") keep their periods, like the
+# Stanford tokenizer's acronym handling
+_ACRONYM = re.compile(r"^(?:[a-z]\.){2,}$")
+# PTB contraction suffixes become their own tokens and SURVIVE the
+# punctuation filter (pycocoevalcap's PUNCTUATIONS list has no "'s"/"n't")
+_CONTRACTION_TOKENS = frozenset({"'s", "'m", "'d", "'ll", "'re", "'ve"})
+
 
 def tokenize(s: str) -> List[str]:
-    s = _PUNCT.sub(" ", s.lower().strip())
-    return s.split()
+    """PTB-style caption tokenization (see module docstring): lowercase,
+    treebank splits for contractions/possessives, punctuation tokens
+    dropped per pycocoevalcap's PUNCTUATIONS filter."""
+    s = s.strip().lower()
+    # PTB's '...' / '--' tokens are in the punctuation filter — drop now
+    s = re.sub(r"\.\.\.+", " ", s)
+    s = re.sub(r"--+", " ", s)
+    # always-splitting punctuation, all filtered out downstream
+    s = re.sub(r"[;:?!()\[\]{}<>\"“”‘’`]", " ", s)
+    # commas split (and die) except between digits ("1,000" stays whole)
+    s = re.sub(r"(?<!\d),|,(?!\d)", " ", s)
+    # contractions: "isn't" -> "is n't", then possessives/clitics
+    s = re.sub(r"(\w)(n't)\b", r"\1 \2", s)
+    s = re.sub(r"(\w)('s|'m|'d|'ll|'re|'ve)\b", r"\1 \2", s)
+    out = []
+    for tok in s.split():
+        if tok == "n't" or tok in _CONTRACTION_TOKENS:
+            out.append(tok)
+            continue
+        # leading/trailing apostrophes are PTB quote tokens (filtered);
+        # possessive-plural "cats'" becomes cats + ' in PTB, ' is filtered
+        tok = tok.strip("'")
+        # trailing sentence periods split off (and die); acronyms keep them
+        while tok.endswith(".") and not _ACRONYM.match(tok):
+            tok = tok[:-1]
+        # pure-punctuation leftovers ("-", em-dashes) are filtered; "&" is
+        # a real PTB token that survives the reference filter
+        if tok == "&" or re.search(r"[a-z0-9]", tok):
+            out.append(tok)
+    return out
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:

@@ -109,7 +109,8 @@ def build_parser():
     p.add_argument("--shots", nargs="+", type=int, default=[0])
     p.add_argument("--num_trials", type=int, default=1)
     p.add_argument("--trial_seeds", nargs="+", type=int, default=None,
-                   help="one seed per trial; default: [--seed]")
+                   help="one DISTINCT seed per trial (len must equal "
+                        "--num_trials); default: seed, seed+1, ...")
     p.add_argument("--query_set_size", type=int, default=2048,
                    help="demonstration pool size, drawn from the train split")
     p.add_argument("--mask_out", default="none",
@@ -292,6 +293,20 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
             train_dir, train_ann, size=size, split="train",
             image_root_train=train_dir,
         )
+        if train_ann == annotations and not train_ds.split_filtered:
+            # plain COCO json with no karpathy split fields: the 'train'
+            # view IS the eval file. FewShotDataset excludes each item from
+            # its own demos, but the pool still overlaps the eval set —
+            # fine for smoke runs, not protocol-comparable to the reference
+            import warnings
+
+            warnings.warn(
+                f"--{dataset_name}_train_annotations not set and the eval "
+                "json has no karpathy split fields: few-shot demos are "
+                "drawn from the EVAL annotations (overlapping pool). Pass "
+                "a dedicated train annotations file for reference-"
+                "comparable numbers.", stacklevel=2,
+            )
         ds = _wrap_few_shot(args, ds, train_ds, num_shots, seed)
 
     def prompt_fn(model, item, spec, query_only):
@@ -372,6 +387,21 @@ VQA_LAYOUTS = {
 }
 
 
+def vqa_layout_for_dir(dataset_name: str, image_dir: str) -> dict:
+    """COCO-layout datasets prefix filenames with the split the image dir
+    holds (reference eval_datasets.py:105-121 derives img_coco_split from
+    the directory name — train demos live in train2014/ with
+    COCO_train2014_* names, not the eval layout's val2014 prefix).
+    Unrecognized dir names keep the default prefix; VQADataset falls back
+    to the bare file pattern anyway."""
+    layout = dict(VQA_LAYOUTS[dataset_name])
+    coco_split = Path(image_dir).name
+    if (dataset_name in ("vqav2", "ok_vqa")
+            and coco_split in ("train2014", "val2014", "test2015")):
+        layout["file_prefix"] = f"COCO_{coco_split}_"
+    return layout
+
+
 def evaluate_vqa(args, dataset_name: str = "vqav2", *, num_shots: int = 0,
                  seed: Optional[int] = None) -> Dict:
     from robustvlm_tpu.vlm_eval.datasets import VQADataset
@@ -390,7 +420,7 @@ def evaluate_vqa(args, dataset_name: str = "vqav2", *, num_shots: int = 0,
     annotations = getattr(args, f"{dataset_name}_annotations")
     ds = VQADataset(
         image_dir, questions, annotations,
-        size=size, **VQA_LAYOUTS[dataset_name],
+        size=size, **vqa_layout_for_dir(dataset_name, image_dir),
     )
 
     # demonstration pool from the train files (reference :1164-1200); demos
@@ -405,10 +435,26 @@ def evaluate_vqa(args, dataset_name: str = "vqav2", *, num_shots: int = 0,
         train_ann = (
             getattr(args, f"{dataset_name}_train_annotations", "") or annotations
         )
+        if train_q == questions or train_ann == annotations:
+            import warnings
+
+            warnings.warn(
+                f"--{dataset_name}_train_questions/_train_annotations not "
+                "set: few-shot demos are drawn from the EVAL files "
+                "(overlapping pool; each item is excluded from its own "
+                "demos). Pass the train-split files for reference-"
+                "comparable numbers.", stacklevel=2,
+            )
         train_ds = VQADataset(
             train_dir, train_q, train_ann, size=size,
-            **VQA_LAYOUTS[dataset_name],
+            **vqa_layout_for_dir(dataset_name, train_dir),
         )
+        if not train_ds.answers:
+            raise ValueError(
+                f"few-shot {dataset_name} demo pool has no annotator "
+                f"answers — demos teacher-force answers[0]; pass "
+                f"--{dataset_name}_train_annotations (train split)"
+            )
         ds = _wrap_few_shot(args, ds, train_ds, num_shots, seed)
 
     def prompt_fn(model, item, spec, query_only):
@@ -490,7 +536,20 @@ def main(argv=None):
         raise ValueError("--mask_out requires --model open_flamingo")
     out = Path(args.out_base_path)
     out.mkdir(parents=True, exist_ok=True)
-    trial_seeds = args.trial_seeds or [args.seed]
+    if args.trial_seeds is not None:
+        # the reference asserts len(trial_seeds) == num_trials
+        # (run_evaluation.py main); N trials under ONE seed would be N
+        # bit-identical runs whose "mean" is just one result at N× cost
+        if len(args.trial_seeds) != len(set(args.trial_seeds)):
+            raise ValueError("--trial_seeds must be distinct")
+        if len(args.trial_seeds) != args.num_trials:
+            raise ValueError(
+                f"--trial_seeds needs exactly --num_trials "
+                f"(={args.num_trials}) entries, got {len(args.trial_seeds)}"
+            )
+        trial_seeds = args.trial_seeds
+    else:
+        trial_seeds = [args.seed + t for t in range(args.num_trials)]
     results = {}
     t0 = time.time()
     # shots x trials grid (reference main, run_evaluation.py:63-84); the
@@ -498,7 +557,7 @@ def main(argv=None):
     default_grid = args.shots == [0] and args.num_trials == 1
     for num_shots in args.shots:
         for trial in range(args.num_trials):
-            seed = trial_seeds[trial % len(trial_seeds)]
+            seed = trial_seeds[trial]
             sfx = "" if default_grid else f"_shots{num_shots}"
             if args.num_trials > 1:
                 sfx += f"_trial{trial}"

@@ -360,6 +360,98 @@ class TestFewShotE2E:
             ])
 
 
+class TestTrialSeeds:
+    def test_trial_seed_count_mismatch_raises(self, tmp_path):
+        """The reference asserts len(trial_seeds) == num_trials; N trials
+        under one seed would be N bit-identical runs."""
+        from robustvlm_tpu.vlm_eval.run_evaluation import main
+
+        img_dir, ann = _coco_fixture(tmp_path)
+        base = [
+            "--model", "open_flamingo", "--model_size", "test-tiny",
+            "--eval_coco", "--coco_image_dir", str(img_dir),
+            "--coco_annotations", str(ann), "--attack", "none",
+            "--num_samples", "2", "--out_base_path", str(tmp_path / "out"),
+        ]
+        with pytest.raises(ValueError, match="num_trials"):
+            main(base + ["--num_trials", "3", "--trial_seeds", "0"])
+        with pytest.raises(ValueError, match="distinct"):
+            main(base + ["--num_trials", "2", "--trial_seeds", "5", "5"])
+
+    def test_default_trial_seeds_differ(self, tmp_path):
+        """Without --trial_seeds, trials get seed, seed+1, ... — each trial
+        must draw a DIFFERENT eval subset/demo sampling, not replay one."""
+        from robustvlm_tpu.vlm_eval import run_evaluation as re_mod
+
+        seen = []
+
+        def spy(args, *a, **kw):
+            seen.append(kw["seed"])
+            return {"cider": 0.0, "wall_s": 0.0}
+
+        import unittest.mock as mock
+
+        img_dir, ann = _coco_fixture(tmp_path)
+        with mock.patch.object(re_mod, "evaluate_captioning", spy):
+            re_mod.main([
+                "--model", "open_flamingo", "--model_size", "test-tiny",
+                "--eval_coco", "--coco_image_dir", str(img_dir),
+                "--coco_annotations", str(ann), "--attack", "none",
+                "--num_trials", "2", "--seed", "7",
+                "--out_base_path", str(tmp_path / "out"),
+            ])
+        assert seen == [7, 8]
+
+
+class TestVqaTrainLayout:
+    def test_coco_prefix_follows_directory_name(self):
+        """reference eval_datasets.py:105-121: img_coco_split comes from
+        the image dir's basename — train2014 demos need the
+        COCO_train2014_ prefix, not the eval layout's val2014."""
+        from robustvlm_tpu.vlm_eval.run_evaluation import vqa_layout_for_dir
+
+        assert vqa_layout_for_dir(
+            "vqav2", "/data/coco/train2014"
+        )["file_prefix"] == "COCO_train2014_"
+        assert vqa_layout_for_dir(
+            "ok_vqa", "/data/coco/val2014"
+        )["file_prefix"] == "COCO_val2014_"
+        # unrecognized dir names keep the default layout
+        assert vqa_layout_for_dir(
+            "vqav2", "/tmp/imgs"
+        )["file_prefix"] == "COCO_val2014_"
+        # non-COCO datasets never get a prefix
+        assert vqa_layout_for_dir(
+            "textvqa", "/data/train2014"
+        )["file_prefix"] == ""
+
+
+class TestDemoSelfExclusion:
+    def test_item_never_demonstrates_itself(self):
+        """When the demo pool overlaps the eval set (fallback pools), an
+        item must not appear in its own context with its gt teacher-forced
+        — that is direct answer leakage."""
+        from robustvlm_tpu.vlm_eval.fewshot import FewShotDataset
+
+        class Toy:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return {
+                    "image": np.zeros((3, 4, 4), np.float32),
+                    "image_id": i, "caption": f"cap {i}",
+                }
+
+        ds = Toy()
+        pool = [ds[i] for i in range(4)]
+        fs = FewShotDataset(ds, pool, num_shots=3, seed=0)
+        for i in range(4):
+            demo_ids = {d["image_id"] for d in fs[i]["demos"]}
+            assert i not in demo_ids
+            assert len(demo_ids) == 3  # the other three
+
+
 class TestTrialMeans:
     def test_multi_trial_mean_aggregation(self, tmp_path):
         """num_trials>1 records per-trial results AND the per-shot nanmean

@@ -79,6 +79,82 @@ class TestBertParityVsTransformers:
         pos = default_position_ids(jnp.zeros((1, 5), jnp.int32), mask, tc)
         assert pos.tolist() == [[2, 3, 4, tc.pad_token_id, tc.pad_token_id]]
 
+    def test_rinna_config_uses_arange_positions(self):
+        """rinna's ja_clip.tokenize passes explicit position_ids =
+        arange(seq_len) for every row, pads included — NOT the HF cumsum
+        convention (the wrapper's 'you must input ... position_ids'
+        warning exists precisely because they differ)."""
+        import dataclasses
+
+        from robustvlm_tpu.models.jaclip import (
+            JACLIP_CONFIGS, default_position_ids,
+        )
+
+        tc = JACLIP_CONFIGS["ja_clip-vit-b-16"].text
+        assert tc.position_convention == "arange"
+        mask = jnp.asarray([[1, 1, 1, 0, 0]])
+        pos = default_position_ids(jnp.zeros((1, 5), jnp.int32), mask, tc)
+        assert pos.tolist() == [[0, 1, 2, 3, 4]]
+        # the two conventions produce different embeddings for the same ids
+        rob = dataclasses.replace(tc, position_convention="roberta")
+        assert (
+            default_position_ids(jnp.zeros((1, 5), jnp.int32), mask, rob)
+            .tolist() != pos.tolist()
+        )
+
+
+class TestJaTokenizerProtocol:
+    class _FakeHFTok:
+        """Stands in for rinna's T5-based japanese-roberta-base tokenizer:
+        does NOT auto-add [CLS] (add_special_tokens=False path)."""
+
+        cls_token_id = 4
+
+        def __call__(self, texts, *, padding, truncation, max_length,
+                     add_special_tokens, return_tensors):
+            assert add_special_tokens is False  # rinna prepends CLS itself
+            ids = np.ones((len(texts), max_length), np.int64)  # pad=1
+            mask = np.zeros((len(texts), max_length), np.int64)
+            for i, t in enumerate(texts):
+                toks = [10 + j for j in range(len(str(t).split()))][:max_length]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    def test_hf_wrapper_prepends_cls(self):
+        """rinna protocol: encode to max_len-1 with add_special_tokens=False
+        then prepend cls_token_id by hand (japanese_clip tokenize)."""
+        from robustvlm_tpu.models.jaclip import wrap_hf_ja_tokenizer
+
+        tokenize = wrap_hf_ja_tokenizer(self._FakeHFTok(), max_len=8)
+        ids, mask = tokenize(["a b c", "d"])
+        assert ids.shape == (2, 8) and mask.shape == (2, 8)
+        assert ids[:, 0].tolist() == [4, 4]  # CLS slot first
+        assert mask[:, 0].tolist() == [1, 1]
+        assert ids[0, 1:4].tolist() == [10, 11, 12]
+
+    def test_hf_wrapper_requires_cls_id(self):
+        from robustvlm_tpu.models.jaclip import wrap_hf_ja_tokenizer
+
+        class NoCls:
+            cls_token_id = None
+            bos_token_id = None
+
+        with pytest.raises(ValueError, match="cls_token_id"):
+            wrap_hf_ja_tokenizer(NoCls())
+
+    def test_hash_tokenizer_has_cls_slot(self):
+        """The offline hash tokenizer mirrors the protocol: constant CLS
+        token (id 0) in slot 0 so pool='cls' reads a real CLS position."""
+        from robustvlm_tpu.models.jaclip import get_ja_tokenizer
+
+        cfg = _tiny_cfg()
+        tokenize = get_ja_tokenizer(None, cfg, max_len=8)
+        ids, mask = tokenize(["some words here", "x"])
+        assert ids[:, 0].tolist() == [0, 0]
+        assert mask[:, 0].tolist() == [1, 1]
+        assert int(ids[0, 1]) >= 2  # content tokens follow
+
 
 class TestJaClipModel:
     def test_encode_text_shapes_and_normalize(self):
@@ -148,6 +224,18 @@ class TestJaClipCli:
             "--output", str(tmp_path / "{model}_{dataset}_{task}.json"),
         ])
         assert len(res) == 1 and "acc1" in res[0]["metrics"]
+
+    def test_unknown_ja_clip_model_raises(self):
+        """No silent fallback to the b-16 config: an unknown name must be a
+        loud KeyError, matching the non-ja branch's CLIP_CONFIGS lookup."""
+        from robustvlm_tpu.benchmark.cli import main
+
+        with pytest.raises(KeyError, match="unknown ja_clip"):
+            main([
+                "eval", "--model", "ja_clip-vit-l-14", "--pretrained",
+                "random", "--dataset", "tfds/cifar10", "--dataset_root", "",
+                "--task", "zeroshot_classification", "--language", "jp",
+            ])
 
     def test_non_classification_task_raises(self):
         from robustvlm_tpu.benchmark.cli import main

@@ -65,6 +65,43 @@ class TestCider:
         assert scores[2] < 20
 
 
+class TestPtbTokenize:
+    """Pin the native PTB-style tokenizer to the effective output of
+    pycocoevalcap's PTBTokenizer pipeline (Stanford tokenizer + the
+    PUNCTUATIONS filter) on the documented drift-prone cases; the
+    skip-if-absent oracle (tests/test_cider_oracle.py) cross-checks these
+    against the real Java pipeline wherever it's installed."""
+
+    CASES = [
+        ("a man, wearing a red-striped shirt, rides a horse.",
+         ["a", "man", "wearing", "a", "red-striped", "shirt", "rides",
+          "a", "horse"]),
+        ("it's a dog; isn't it?!",
+         ["it", "'s", "a", "dog", "is", "n't", "it"]),
+        ("the U.S. flag (large) waves -- proudly.",
+         ["the", "u.s.", "flag", "large", "waves", "proudly"]),
+        ("two cats... one black, one white: both sleeping.",
+         ["two", "cats", "one", "black", "one", "white", "both",
+          "sleeping"]),
+        ("the cats' toys cost 1,000 dollars & more",
+         ["the", "cats", "toys", "cost", "1,000", "dollars", "&", "more"]),
+        ("we'll see they're we've i'm i'd",
+         ["we", "'ll", "see", "they", "'re", "we", "'ve", "i", "'m",
+          "i", "'d"]),
+    ]
+
+    def test_ptb_effective_tokens(self):
+        from robustvlm_tpu.vlm_eval.metrics.cider import tokenize
+
+        for raw, want in self.CASES:
+            assert tokenize(raw) == want, raw
+
+    def test_pure_punctuation_drops_to_empty(self):
+        from robustvlm_tpu.vlm_eval.metrics.cider import tokenize
+
+        assert tokenize("... -- ?! ; ( )") == []
+
+
 class TestVQAAccuracy:
     def test_normalization(self):
         assert normalize_answer("Two.") == "2"
@@ -140,8 +177,15 @@ class TestDatasets:
         save_adv_image(adv, str(tmp_path / "adv"), 1)
         ds = TensorCaptionDataset(base, str(tmp_path / "adv"))
         np.testing.assert_allclose(ds[1]["image"], adv)
-        # untouched image passes through
-        np.testing.assert_allclose(ds[0]["image"], base[0]["image"])
+        # strict default: a missing tensor is a loud error (a silent clean
+        # fallback would report clean performance as robustness)
+        with pytest.raises(FileNotFoundError, match="seed"):
+            ds[0]
+        # opt-in lenient mode passes the clean image through
+        lenient = TensorCaptionDataset(
+            base, str(tmp_path / "adv"), strict=False
+        )
+        np.testing.assert_allclose(lenient[0]["image"], base[0]["image"])
 
     def test_vqa_dataset(self, tmp_path):
         from PIL import Image
