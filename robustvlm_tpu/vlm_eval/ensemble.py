@@ -152,6 +152,52 @@ class EnsembleRunner:
             self._models[precision] = self.make_model(precision)
         return self._models[precision]
 
+    def _load_state(self, ids, n_stages, left_to_attack, best_scores,
+                    best_outputs, best_adv, gt_dict) -> int:
+        """Reload a prior run's per-stage checkpoint (see run(resume=True)).
+        Returns the number of completed stages (0 = nothing to resume).
+        A crash mid-stage resumes from the last stage BOUNDARY — the
+        partial stage re-runs, and per-item worst-case bookkeeping makes
+        the re-run idempotent."""
+        if self.out_dir is None:
+            raise ValueError("resume=True requires out_dir")
+        sp = self.out_dir / "ensemble_state.json"
+        if not sp.exists():
+            return 0
+        st = json.loads(sp.read_text())
+        if st["ids"] != [str(i) for i in ids]:
+            raise ValueError(
+                "ensemble resume state does not match the current eval "
+                "subset — re-run with the SAME --seed/--num_samples (or "
+                "clear the out dir)"
+            )
+        if st["n_stages"] != n_stages:
+            raise ValueError(
+                f"ensemble resume state was written for a "
+                f"{st['n_stages']}-stage schedule, current has {n_stages} "
+                f"— clear the out dir to restart"
+            )
+        by_str = {str(i): i for i in ids}
+        for k, v in st["left_to_attack"].items():
+            left_to_attack[by_str[k]] = v
+        for k, v in st["best_scores"].items():
+            best_scores[by_str[k]] = float(v)
+        for k, v in st["best_outputs"].items():
+            best_outputs[by_str[k]] = v
+        gt_dict.update(st["gt_dict"])
+        for k, iid in by_str.items():
+            p = self.out_dir / "adv" / f"{k}.npy"
+            if p.exists():
+                best_adv[iid] = np.load(p).astype(np.float32)
+        done = int(st["stages_done"])
+        if self.verbose and done:
+            print(
+                f"[ensemble] resuming after stage {done}/{n_stages} "
+                f"({sum(left_to_attack.values())}/{len(ids)} still active)",
+                flush=True,
+            )
+        return done
+
     def _attack_one(self, model, x, spec: AttackSpec, x_init, rng):
         if spec.kind == "none":
             return x
@@ -186,6 +232,7 @@ class EnsembleRunner:
         n_samples: Optional[int] = None,
         save_adv: bool = True,
         indices: Optional[Sequence[int]] = None,
+        resume: bool = False,
     ) -> Dict:
         if indices is not None:
             items = [dataset[int(i)] for i in indices]
@@ -208,9 +255,22 @@ class EnsembleRunner:
         # the final prev-best stage teacher-forces it (reference
         # run_evaluation.py:929 `which_gt = gt_dict if gt == "prev-best"`)
         gt_dict: Dict = {}
+        start_stage = 0
+        if resume:
+            # crash resume (beyond the reference, which persists
+            # left_to_attack/gt_dict only for MANUAL restarts,
+            # run_evaluation.py:1096-1105): reload the per-stage state +
+            # saved adversarial tensors and skip completed stages. The
+            # state is only valid for the SAME eval subset and schedule.
+            start_stage = self._load_state(
+                ids, len(schedule), left_to_attack, best_scores,
+                best_outputs, best_adv, gt_dict,
+            )
         t0 = time.time()
 
         for a_idx, spec in enumerate(schedule):
+            if a_idx < start_stage:
+                continue
             model = self._model(spec.precision)
             # stage-start snapshot of still-active items (identical to the
             # old per-item check: left_to_attack only changes for items
@@ -228,6 +288,7 @@ class EnsembleRunner:
                 ]
             else:
                 groups = [[j] for j in active]
+            dirty = set()  # ids whose best_adv changed this stage
             for grp in groups:
                 # pad a ragged final group to batch_size by repeating its
                 # last item: the compiled attack core caches on x.shape, so
@@ -299,6 +360,7 @@ class EnsembleRunner:
                     if best_outputs[iid] is None or score < best_scores[iid]:
                         best_outputs[iid] = out
                         best_adv[iid] = np.asarray(x_adv[pos])
+                        dirty.add(iid)
                         if eff_specs[pos].gt_idx is not None:
                             gt_dict[str(iid)] = eff_specs[pos].gt_idx
                         if not np.isnan(score):
@@ -324,6 +386,30 @@ class EnsembleRunner:
                     json.dumps({str(k): v for k, v in left_to_attack.items()})
                 )
                 (self.out_dir / "gt_dict.json").write_text(json.dumps(gt_dict))
+                # crash-resume state: per-stage checkpoint of the full
+                # worst-case bookkeeping + this stage's changed adv tensors
+                # (the json module round-trips the inf sentinels)
+                for iid in dirty:
+                    save_adv_image(
+                        best_adv[iid], str(self.out_dir / "adv"), iid
+                    )
+                (self.out_dir / "ensemble_state.json").write_text(
+                    json.dumps({
+                        "ids": [str(i) for i in ids],
+                        "n_stages": len(schedule),
+                        "stages_done": a_idx + 1,
+                        "left_to_attack": {
+                            str(k): v for k, v in left_to_attack.items()
+                        },
+                        "best_scores": {
+                            str(k): v for k, v in best_scores.items()
+                        },
+                        "best_outputs": {
+                            str(k): v for k, v in best_outputs.items()
+                        },
+                        "gt_dict": gt_dict,
+                    })
+                )
 
         if save_adv and self.out_dir is not None:
             for iid, adv in best_adv.items():

@@ -96,6 +96,10 @@ def build_parser():
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--from_saved", default="",
                    help="reload saved adversarial images from this dir")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a crashed ensemble run from the per-stage "
+                        "state checkpoint in the out dir (same seed/"
+                        "num_samples/schedule required)")
     p.add_argument("--host_loop", action="store_true",
                    help="host-looped APGD steps (O(1) compile in n_iter)")
     p.add_argument("--batch_size", type=int, default=1,
@@ -360,7 +364,8 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
         batch_size=args.batch_size,
         mask_out=args.mask_out,
     )
-    res = runner.run(ds, schedule, seed=seed, indices=sel)
+    res = runner.run(ds, schedule, seed=seed, indices=sel,
+                     resume=args.resume)
 
     cands = {i: c for i, c in res["outputs"].items() if c is not None}
     refs = {i: cap_ds.captions[i] for i in eval_ids if i in cands}
@@ -514,7 +519,8 @@ def evaluate_vqa(args, dataset_name: str = "vqav2", *, num_shots: int = 0,
         mask_out=args.mask_out,
     )
     sel = _eval_indices(len(ds), args.num_samples, seed)
-    res = runner.run(ds, schedule, seed=seed, indices=sel)
+    res = runner.run(ds, schedule, seed=seed, indices=sel,
+                     resume=args.resume)
     scores = [s for s in res["scores"].values() if np.isfinite(s)]
     metrics = {
         "vqa_accuracy": float(np.mean(scores)) if scores else float("nan"),

@@ -561,6 +561,98 @@ class TestEnsembleBatched:
         assert calls.count((1, True)) == 4, "targeted stage serial per item"
 
 
+class TestEnsembleResume:
+    """Crash-resume: the per-stage state checkpoint (ensemble_state.json +
+    adv tensors) must reproduce an uninterrupted run exactly. The reference
+    persists left_to_attack/gt_dict only for MANUAL restarts
+    (run_evaluation.py:1096-1105); automatic resume is a rebuild extra."""
+
+    def _schedule(self):
+        from robustvlm_tpu.vlm_eval.ensemble import AttackSpec
+
+        return [
+            AttackSpec(kind="none", precision="full"),
+            AttackSpec(precision="full", n_iter=2, gt_idx=0),
+            AttackSpec(precision="full", n_iter=2, gt_idx=1),
+            AttackSpec(precision="full", n_iter=2, init_from_best=True),
+        ]
+
+    def _runner(self, ds, out_dir, score_fn):
+        from robustvlm_tpu.vlm_eval.ensemble import EnsembleRunner
+
+        return EnsembleRunner(
+            lambda prec: _llava_model(prec),
+            eps=8 / 255, score_fn=score_fn, prompt_fn=_spec_prompt_fn,
+            threshold=-1.0, out_dir=str(out_dir), max_new_tokens=4,
+            verbose=False,
+        )
+
+    def test_resume_after_crash_matches_uninterrupted(self, tmp_path):
+        ds = _SynthDS4()
+        base_score = _corpus_score_fn(ds)
+
+        # ground truth: uninterrupted run
+        ref = self._runner(ds, tmp_path / "ref", base_score).run(
+            ds, self._schedule(), save_adv=False
+        )
+
+        # crash mid-stage-3 (after stages 1-2 checkpointed)
+        calls = {"n": 0}
+
+        def crashing(caption, item):
+            calls["n"] += 1
+            if calls["n"] == 9:  # stage1: 4 scores, stage2: 4, then boom
+                raise RuntimeError("simulated crash")
+            return base_score(caption, item)
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            self._runner(ds, tmp_path / "run", crashing).run(
+                ds, self._schedule(), save_adv=False
+            )
+        state = json.loads(
+            (tmp_path / "run" / "ensemble_state.json").read_text()
+        )
+        assert state["stages_done"] == 2  # stage 3 never checkpointed
+
+        # resume re-runs stages 3-4 and must land on the reference results
+        res = self._runner(ds, tmp_path / "run", base_score).run(
+            ds, self._schedule(), save_adv=False, resume=True
+        )
+        assert res["outputs"] == ref["outputs"]
+        for i in ref["scores"]:
+            assert res["scores"][i] == pytest.approx(
+                ref["scores"][i], abs=1e-5
+            )
+        for i in ref["adv"]:
+            np.testing.assert_allclose(res["adv"][i], ref["adv"][i], atol=1e-6)
+
+    def test_resume_rejects_different_subset(self, tmp_path):
+        ds = _SynthDS4()
+        score = _corpus_score_fn(ds)
+        self._runner(ds, tmp_path, score).run(
+            ds, self._schedule(), save_adv=False
+        )
+
+        class Shifted(_SynthDS4):
+            def __getitem__(self, i):
+                item = super().__getitem__(i)
+                item["image_id"] = i + 100
+                return item
+
+        with pytest.raises(ValueError, match="subset"):
+            self._runner(Shifted(), tmp_path, score).run(
+                Shifted(), self._schedule(), save_adv=False, resume=True
+            )
+
+    def test_resume_without_state_starts_fresh(self, tmp_path):
+        ds = _SynthDS4()
+        score = _corpus_score_fn(ds)
+        res = self._runner(ds, tmp_path, score).run(
+            ds, self._schedule(), save_adv=False, resume=True
+        )
+        assert all(v is not None for v in res["outputs"].values())
+
+
 class TestPope:
     def test_binarize_and_score(self):
         from robustvlm_tpu.vlm_eval.pope import binarize_answer, eval_pope
