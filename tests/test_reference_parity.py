@@ -457,3 +457,81 @@ class TestTrainApgdParity:
         np.testing.assert_allclose(
             np.asarray(res.x_best_adv), adv_ref, atol=1e-5
         )
+
+
+class TestFewShotProtocolParity:
+    """Run the reference's OWN few-shot helpers as oracles. The module they
+    live in (vlm_eval/run_evaluation.py) cannot be imported here (its
+    open_flamingo deps need einops_exts, absent in this env), so the three
+    module-level protocol functions — get_query_set (:764),
+    sample_batch_demos_from_query_set (:784), compute_effective_num_shots
+    (:788) — are ast-extracted and exec'd with their own globals. Pure
+    source extraction for testing, not code reuse: the product
+    implementation is robustvlm_tpu/vlm_eval/fewshot.py."""
+
+    @pytest.fixture(scope="class")
+    def ref_fns(self):
+        import ast
+
+        src = (REF / "vlm_eval" / "run_evaluation.py").read_text()
+        tree = ast.parse(src)
+        wanted = {
+            "get_query_set",
+            "sample_batch_demos_from_query_set",
+            "compute_effective_num_shots",
+        }
+        defs = [
+            n for n in tree.body
+            if isinstance(n, ast.FunctionDef) and n.name in wanted
+        ]
+        assert {d.name for d in defs} == wanted
+        import random as _random
+
+        ns = {"np": np, "random": _random}
+        exec(  # noqa: S102 - test oracle extraction
+            compile(ast.Module(body=defs, type_ignores=[]), "<ref>", "exec"),
+            ns,
+        )
+        return ns
+
+    def test_effective_num_shots_table(self, ref_fns):
+        from robustvlm_tpu.vlm_eval.fewshot import compute_effective_num_shots
+
+        for shots in (0, 2, 4, 8, 16, 32):
+            for model_type in ("open_flamingo", "llava", "blip2"):
+                assert compute_effective_num_shots(shots, model_type) == \
+                    ref_fns["compute_effective_num_shots"](shots, model_type)
+
+    def test_query_set_selection_stream_exact(self, ref_fns):
+        """Same MT19937 stream: np.random.seed(s)+global choice (reference)
+        == np.random.RandomState(s).choice (ours) — the query set must be
+        the SAME examples for a given trial seed."""
+        from robustvlm_tpu.vlm_eval.fewshot import get_query_set
+
+        train = [{"image_id": i, "caption": f"c{i}"} for i in range(64)]
+        for seed, size in ((42, 8), (0, 32), (7, 64)):
+            ours = get_query_set(train, size, seed=seed)
+            theirs = ref_fns["get_query_set"](train, size, seed)
+            assert [d["image_id"] for d in ours] == \
+                [d["image_id"] for d in theirs]
+
+    def test_demo_sampling_protocol_shape(self, ref_fns):
+        """The reference draws per-item demos with random.sample from the
+        query set (without replacement). Our sample_demos deviates only in
+        seeding (documented in fewshot.py): per-item deterministic stream
+        instead of the unseeded global. Protocol shape must match."""
+        import random as _random
+
+        from robustvlm_tpu.vlm_eval.fewshot import sample_demos
+
+        qs = [{"image_id": i} for i in range(16)]
+        _random.seed(123)
+        ref_batch = ref_fns["sample_batch_demos_from_query_set"](qs, 4, 3)
+        assert len(ref_batch) == 3
+        qs_ids = {d["image_id"] for d in qs}
+        for ref_demos, item_index in zip(ref_batch, range(3)):
+            ours = sample_demos(qs, 4, seed=123, item_index=item_index)
+            for demos in (ref_demos, ours):
+                ids = [d["image_id"] for d in demos]
+                assert len(ids) == 4 and len(set(ids)) == 4
+                assert set(ids) <= qs_ids
