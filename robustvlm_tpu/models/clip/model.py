@@ -46,6 +46,10 @@ class TransformerConfig:
     width: int
     layers: int
     heads: int
+    # open_clip mlp_ratio: hidden = int(width * mlp_ratio). 4.0 everywhere
+    # except ViT-g-14's vision tower (4.3637 -> 6144); the forward reads
+    # hidden from the param shapes, so this only steers init.
+    mlp_ratio: float = 4.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,6 +105,26 @@ CLIP_CONFIGS: Dict[str, CLIPConfig] = {
     "ViT-B-16-laion": CLIPConfig(
         "ViT-B-16-laion", 512, 224, 16,
         TransformerConfig(768, 12, 12), TransformerConfig(512, 12, 8),
+        quick_gelu=False,
+    ),
+    # Larger LAION open_clip variants (reference CLIP_benchmark
+    # model_collection.py:8-17 "openclip_base": ViT-B-16-plus-240/H-14/g-14
+    # rows of the clean zero-shot suite). Standard GELU, import via the
+    # same shape-driven open_clip state-dict path.
+    "ViT-B-16-plus-240": CLIPConfig(
+        "ViT-B-16-plus-240", 640, 240, 16,
+        TransformerConfig(896, 12, 14), TransformerConfig(640, 12, 10),
+        quick_gelu=False,
+    ),
+    "ViT-H-14": CLIPConfig(
+        "ViT-H-14", 1024, 224, 14,
+        TransformerConfig(1280, 32, 16), TransformerConfig(1024, 24, 16),
+        quick_gelu=False,
+    ),
+    "ViT-g-14": CLIPConfig(
+        "ViT-g-14", 1024, 224, 14,
+        TransformerConfig(1408, 40, 16, mlp_ratio=4.3637),
+        TransformerConfig(1024, 24, 16),
         quick_gelu=False,
     ),
     # tiny config for tests
@@ -477,6 +501,7 @@ def _init_ln(l, w):
 
 def _init_blocks(rng, tcfg: TransformerConfig):
     l, w = tcfg.layers, tcfg.width
+    h = int(w * tcfg.mlp_ratio)
     k = jax.random.split(rng, 4)
     s = w ** -0.5
     return {
@@ -489,9 +514,9 @@ def _init_blocks(rng, tcfg: TransformerConfig):
         },
         "ln_2": _init_ln(l, w),
         "mlp": {
-            "fc_w": jax.random.normal(k[2], (l, w, 4 * w)) * s,
-            "fc_b": jnp.zeros((l, 4 * w)),
-            "proj_w": jax.random.normal(k[3], (l, 4 * w, w)) * s,
+            "fc_w": jax.random.normal(k[2], (l, w, h)) * s,
+            "fc_b": jnp.zeros((l, h)),
+            "proj_w": jax.random.normal(k[3], (l, h, w)) * s,
             "proj_b": jnp.zeros((l, w)),
         },
     }

@@ -280,3 +280,64 @@ class TestClsSplitAttention:
         np.testing.assert_allclose(
             np.asarray(g_s), np.asarray(g_d), atol=1e-4
         )
+
+
+class TestMlpRatioAndLargeConfigs:
+    """open_clip's larger LAION variants (reference CLIP_benchmark
+    model_collection.py:8-17) and the mlp_ratio knob that ViT-g-14 needs."""
+
+    def test_registry_dims_match_open_clip(self):
+        # (embed_dim, image, patch, vW, vL, vH, v_mlp_hidden, tW, tL, tH)
+        expect = {
+            "ViT-B-16-plus-240": (640, 240, 16, 896, 12, 14, 3584, 640, 12, 10),
+            "ViT-H-14": (1024, 224, 14, 1280, 32, 16, 5120, 1024, 24, 16),
+            "ViT-g-14": (1024, 224, 14, 1408, 40, 16, 6144, 1024, 24, 16),
+        }
+        for name, (ed, im, p, vw, vl, vh, vm, tw, tl, th) in expect.items():
+            c = CLIP_CONFIGS[name]
+            assert (c.embed_dim, c.image_size, c.patch_size) == (ed, im, p)
+            assert (c.vision.width, c.vision.layers, c.vision.heads) == (vw, vl, vh)
+            assert int(c.vision.width * c.vision.mlp_ratio) == vm
+            assert (c.text.width, c.text.layers, c.text.heads) == (tw, tl, th)
+            assert not c.quick_gelu
+
+    def test_init_shapes_without_allocation(self):
+        # eval_shape: full-size param trees checked without allocating them
+        from robustvlm_tpu.models.clip.model import CLIPConfig
+
+        for name in ("ViT-H-14", "ViT-g-14", "ViT-B-16-plus-240"):
+            cfg = CLIP_CONFIGS[name]
+            tree = jax.eval_shape(
+                lambda c=cfg: init_clip_params(jax.random.PRNGKey(0), c)
+            )
+            vb = tree["visual"]["blocks"]
+            l, w = cfg.vision.layers, cfg.vision.width
+            h = int(w * cfg.vision.mlp_ratio)
+            assert vb["mlp"]["fc_w"].shape == (l, w, h)
+            assert vb["mlp"]["proj_w"].shape == (l, h, w)
+            assert vb["attn"]["qkv_w"].shape == (l, w, 3 * w)
+            assert tree["visual"]["proj"].shape == (w, cfg.embed_dim)
+            n_tok = (cfg.image_size // cfg.patch_size) ** 2 + 1
+            assert tree["visual"]["positional_embedding"].shape == (n_tok, w)
+
+    def test_fractional_ratio_forward_and_roundtrip(self):
+        # a tiny non-integer-ratio tower must init, run, and round-trip
+        # through the torch-layout export/import unchanged
+        from robustvlm_tpu.models.clip.model import CLIPConfig, TransformerConfig
+
+        cfg = CLIPConfig(
+            "tiny-g", 64, 32, 8,
+            TransformerConfig(64, 2, 4, mlp_ratio=4.3637),
+            TransformerConfig(64, 2, 4),
+            vocab_size=512, context_length=16, quick_gelu=False,
+        )
+        params = init_clip_params(jax.random.PRNGKey(0), cfg)
+        assert params["visual"]["blocks"]["mlp"]["fc_w"].shape == (2, 64, 279)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 3, 32, 32), jnp.float32)
+        emb = np.asarray(encode_image(params, x, cfg))
+        assert emb.shape == (2, 64) and np.isfinite(emb).all()
+
+        sd = export_visual_state_dict(params["visual"], cfg)
+        re = import_visual_state_dict(sd, cfg)
+        emb2 = np.asarray(encode_image({"visual": re}, x, cfg))
+        np.testing.assert_allclose(emb2, emb, atol=1e-6)
