@@ -123,7 +123,39 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
         ),
     })
 
-    if model_name.startswith("ja_clip"):
+    from robustvlm_tpu.models.mclip import MCLIP_CONFIGS
+
+    if model_name in MCLIP_CONFIGS:
+        # multilingual open_clip rows (reference model_collection.py
+        # "openclip_multilingual"): native XLM-RoBERTa text tower (mean
+        # pool + MLP proj, models/mclip.py) + the repo's CLIP ViT vision
+        # tower — same downstream flow as plain CLIP, so the adversarial
+        # zero-shot path works. Use --language for the multilingual tables.
+        from robustvlm_tpu.models.mclip import (
+            build_mclip_text_classifier,
+            get_mclip_tokenizer,
+            import_open_clip_mclip,
+            init_mclip_params,
+        )
+
+        if args.task != "zeroshot_classification":
+            raise NotImplementedError(
+                "multilingual xlm-roberta models support "
+                "zeroshot_classification (the reference's multilingual "
+                "benchmark task)"
+            )
+        mcfg = MCLIP_CONFIGS[model_name]
+        if pretrained and pretrained != "random":
+            params = import_open_clip_mclip(pretrained, mcfg)
+        else:
+            params = init_mclip_params(jax.random.PRNGKey(0), mcfg)
+        cfg = mcfg.vision  # vision-side flow (attacks, resize) is CLIP
+        # --bpe_path doubles as the local HF tokenizer dir
+        tokenize = get_mclip_tokenizer(args.bpe_path or None, mcfg)
+        build_classifier = lambda classnames, tpls: build_mclip_text_classifier(
+            params, mcfg, tokenize, classnames, tpls
+        )
+    elif model_name.startswith("ja_clip"):
         # native rinna Japanese CLIP (reference CLIP_benchmark
         # models/japanese_clip.py loads it via the external `japanese_clip`
         # package): BERT text tower (models/jaclip, HF-RobertaModel

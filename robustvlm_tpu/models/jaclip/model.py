@@ -64,6 +64,15 @@ class JaCLIPConfig:
     text: BertTextConfig
     vision: CLIPConfig  # full CLIP config; its visual tower is used
     embed_dim: int = 512
+    # 'linear': pooled @ (D, embed) — rinna ja_clip.
+    # 'mlp': open_clip HFTextEncoder proj='mlp' (hf_model.py): two bias-free
+    #   linears with exact GELU between, hidden = (D + embed) // 2 — the
+    #   xlm-roberta multilingual rows (models/mclip.py) use this.
+    proj_arch: str = "linear"
+
+    @property
+    def proj_hidden(self) -> int:
+        return (self.text.hidden + self.embed_dim) // 2
 
     @property
     def image_size(self) -> int:
@@ -181,7 +190,11 @@ def encode_text(
     else:  # masked mean
         m = attention_mask[..., None].astype(h.dtype)
         pooled = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
-    e = pooled @ params["text_projection"]
+    if cfg.proj_arch == "mlp":
+        tp = params["text_projection"]
+        e = jax.nn.gelu(pooled @ tp["fc_w"], approximate=False) @ tp["out_w"]
+    else:
+        e = pooled @ params["text_projection"]
     if normalize:
         e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
     return e
@@ -327,9 +340,18 @@ def init_jaclip_params(rng: jax.Array, cfg: JaCLIPConfig) -> Params:
         },
     }
     clip = init_clip_params(kv, cfg.vision)
+    if cfg.proj_arch == "mlp":
+        kp1, kp2 = jax.random.split(kp)
+        hid = cfg.proj_hidden
+        proj = {
+            "fc_w": nrm(kp1, (d, hid), s),
+            "out_w": nrm(kp2, (hid, cfg.embed_dim), hid ** -0.5),
+        }
+    else:
+        proj = nrm(kp, (d, cfg.embed_dim), s)
     return {
         "text": text,
-        "text_projection": nrm(kp, (d, cfg.embed_dim), s),
+        "text_projection": proj,
         "visual": clip["visual"],
         "logit_scale": jnp.asarray(2.659260036932778),  # ln(1/0.07), CLIP init
     }
