@@ -358,15 +358,28 @@ def run_one(args, model_name: str, pretrained: str, dataset: str,
 def main(argv=None):
     args = build_parser().parse_args(argv)
     models = _expand(args.model)
-    pretrained = _expand(args.pretrained) if args.pretrained else [""] * len(models)
-    if len(pretrained) == 1 and len(models) > 1:
-        pretrained = pretrained * len(models)  # one checkpoint, many archs
-    if len(pretrained) != len(models):
-        raise ValueError(
-            f"--model has {len(models)} entries but --pretrained has "
-            f"{len(pretrained)}; they pair positionally (a single "
-            "--pretrained broadcasts)"
-        )
+    if any("," in m for m in models):
+        # @file rows may pair "model,pretrained" on one line (reference
+        # CLIP_benchmark model_collection.py get_model_collection_from_file);
+        # bare-CLI comma lists never reach here with commas intact
+        if args.pretrained:
+            raise ValueError(
+                "model,pretrained @file rows and --pretrained are mutually "
+                "exclusive — put the checkpoint in the file row"
+            )
+        rows = [m.split(",", 1) for m in models]
+        models = [r[0].strip() for r in rows]
+        pretrained = [r[1].strip() if len(r) > 1 else "" for r in rows]
+    else:
+        pretrained = _expand(args.pretrained) if args.pretrained else [""] * len(models)
+        if len(pretrained) == 1 and len(models) > 1:
+            pretrained = pretrained * len(models)  # one checkpoint, many archs
+        if len(pretrained) != len(models):
+            raise ValueError(
+                f"--model has {len(models)} entries but --pretrained has "
+                f"{len(pretrained)}; they pair positionally (a single "
+                "--pretrained broadcasts)"
+            )
     datasets = _expand(args.dataset)
     languages = _expand(args.language) or ["en"]
 

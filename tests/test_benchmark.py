@@ -463,3 +463,43 @@ class TestTfdsCliEndToEnd:
             "--output", str(tmp_path / "{model}_{dataset}_{task}.json"),
         ])
         assert len(res) == 1 and "acc1" in res[0]["metrics"]
+
+
+class TestModelPretrainedPairRows:
+    """@file rows may pair 'model,pretrained' on one line (reference
+    model_collection.py get_model_collection_from_file)."""
+
+    def test_pair_rows_run(self, tmp_path, monkeypatch):
+        rng = np.random.RandomState(0)
+        examples = [
+            {"image": rng.randint(0, 255, (32, 32, 3), np.uint8),
+             "label": i % 2}
+            for i in range(4)
+        ]
+        TestTfdsVtabAdapter._install_fake_tfds(
+            monkeypatch, examples, label_names=("a cat", "a dog")
+        )
+        from robustvlm_tpu.benchmark.cli import main
+
+        mf = tmp_path / "models.txt"
+        mf.write_text("# comment\ntest-tiny,random\n")
+        res = main([
+            "eval", "--model", f"@{mf}",
+            "--dataset", "tfds/cifar10", "--dataset_root", "",
+            "--task", "zeroshot_classification",
+            "--batch_size", "2", "--n_samples", "4",
+            "--output", str(tmp_path / "{model}_{dataset}_{task}.json"),
+        ])
+        assert len(res) == 1 and res[0]["pretrained"] == "random"
+
+    def test_pair_rows_reject_explicit_pretrained(self, tmp_path):
+        from robustvlm_tpu.benchmark.cli import main
+
+        mf = tmp_path / "models.txt"
+        mf.write_text("test-tiny,random\n")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            main([
+                "eval", "--model", f"@{mf}", "--pretrained", "x.pt",
+                "--dataset", "synthetic", "--dataset_root", "",
+                "--task", "zeroshot_classification",
+            ])
