@@ -36,6 +36,10 @@ scripts/perf_sweep.py):
     the compiled program (HLO constants changed the cache key per batch).
   - per-dispatch host-loop overhead through the remote tunnel ~14 ms/call;
     the in-jit scan path amortizes it.
+  - XLA TPU backend flags are NOT tunable from this client: the axon
+    CPU-side XLA rejects --xla_tpu_* names in XLA_FLAGS (fatal
+    "Unknown flag"), so compile-option sweeps (scoped_vmem etc.) are
+    impossible through the tunnel — measured round 3, lever closed.
   - speed-of-light audit (round 2): back-to-back bf16 matmul at the exact
     qkv shape (8224x1024x3072) calibrates to 140.4 TF/s on this chip — the
     in-model 135 TF/s is 96% of that practical ceiling. Step decomposition
