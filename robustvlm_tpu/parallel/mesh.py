@@ -110,6 +110,18 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r".*stages.*blocks.*fc1_w$", P(None, "fsdp", "model")),
     (r".*stages.*blocks.*fc1_b$", P(None, "model")),
     (r".*stages.*blocks.*fc2_w$", P(None, "model", "fsdp")),
+    # --- BERT/XLM-R text towers (models/jaclip, models/mclip): stacked
+    # (L, D, D) attention, (L, D, I) ffn, bias/LN replicated by default ---
+    (r".*blocks/[qkv]_w$", P(None, "fsdp", "model")),
+    (r".*blocks/[qkv]_b$", P(None, "model")),
+    (r".*blocks/o_w$", P(None, "model", "fsdp")),
+    (r".*blocks/ff1_w$", P(None, "fsdp", "model")),
+    (r".*blocks/ff1_b$", P(None, "model")),
+    (r".*blocks/ff2_w$", P(None, "model", "fsdp")),
+    (r".*word_emb$", P("fsdp", None)),
+    # open_clip mlp text projection (mclip): two bias-free linears
+    (r".*text_projection/fc_w$", P("fsdp", "model")),
+    (r".*text_projection/out_w$", P("model", "fsdp")),
     # --- embeddings / heads: shard the wide axis on fsdp ---
     (r".*patch_embed$", P("fsdp", None)),
     (r".*tok(en)?_embedding$", P("fsdp", None)),

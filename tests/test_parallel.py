@@ -331,3 +331,51 @@ class TestMultihost:
         assert merged == [{"acc": 0.5, "ids": [1, 2]}]
         m = merge_metric_means([{"acc": 0.25}, {"acc": 0.75}], [1, 3])
         assert m["acc"] == pytest.approx(0.625)
+
+
+class TestBertTowerShardingRules:
+    """BERT/XLM-R text towers (ja_clip + the multilingual mclip family)
+    must shard like the other LMs — stacked (L,D,D) attention and (L,D,I)
+    ffn on (fsdp, model), word embeddings on fsdp."""
+
+    def test_mclip_tree_mostly_sharded(self):
+        from robustvlm_tpu.models.mclip import MCLIP_CONFIGS, init_mclip_params
+
+        params = init_mclip_params(
+            jax.random.PRNGKey(0), MCLIP_CONFIGS["test-tiny-mclip"]
+        )
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        assert _sharded_fraction(params, mesh) > 0.5
+        assert _sharded_fraction(params["text"], mesh) > 0.5
+        # the MLP projection dict (text_projection/fc_w|out_w) must shard
+        # (checked through the FULL tree: the rule keys on the path prefix)
+        sh = param_sharding_rules(params, mesh)
+        assert tuple(sh["text_projection"]["fc_w"].spec) == ("fsdp", "model")
+        assert tuple(sh["text_projection"]["out_w"].spec) == ("model", "fsdp")
+
+    def test_sharded_mclip_text_encode_executes(self):
+        from robustvlm_tpu.models.mclip import (
+            MCLIP_CONFIGS, encode_text, init_mclip_params,
+        )
+
+        cfg = MCLIP_CONFIGS["test-tiny-mclip"]
+        mesh = make_mesh(data=2, fsdp=2, model=2)
+        params = shard_params(
+            init_mclip_params(jax.random.PRNGKey(0), cfg), mesh
+        )
+        rng = np.random.RandomState(0)
+        ids = jax.device_put(
+            jnp.asarray(rng.randint(5, cfg.text.vocab_size, (8, 12))),
+            batch_sharding(mesh, 2),
+        )
+        mask = jax.device_put(
+            jnp.ones((8, 12), jnp.int32), batch_sharding(mesh, 2)
+        )
+        e = jax.jit(
+            lambda p, i, m: encode_text(p, i, m, cfg, normalize=True)
+        )(params, ids, mask)
+        e = np.asarray(e)
+        assert e.shape == (8, cfg.embed_dim) and np.isfinite(e).all()
+        np.testing.assert_allclose(
+            np.linalg.norm(e, axis=-1), 1.0, atol=1e-5
+        )
