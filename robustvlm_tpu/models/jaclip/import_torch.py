@@ -96,7 +96,9 @@ def import_rinna_jaclip(path: str, cfg: JaCLIPConfig) -> Dict[str, Any]:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    sd = {k: v for k, v in sd.items()}
+    if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+        sd = sd["state_dict"]  # training-checkpoint wrapper
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
 
     text_prefix = _find_prefix(sd, "embeddings.word_embeddings.weight")
     if text_prefix is None:

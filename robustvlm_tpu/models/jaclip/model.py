@@ -258,6 +258,8 @@ def get_ja_tokenizer(path: Optional[str], cfg: JaCLIPConfig, max_len: int = 77):
             AutoTokenizer.from_pretrained(path), max_len
         )
 
+    import zlib
+
     v = cfg.text.vocab_size
 
     def tokenize(texts):
@@ -266,9 +268,11 @@ def get_ja_tokenizer(path: Optional[str], cfg: JaCLIPConfig, max_len: int = 77):
         for i, t in enumerate(texts):
             # CLS slot (id 0, outside the hash range) first — the 'cls'
             # pool reads h[:, 0], which must be a constant token like in
-            # the real protocol
+            # the real protocol. crc32, not hash(): PYTHONHASHSEED-
+            # independent, so runs are reproducible across processes.
             toks = [0] + [
-                2 + (hash(w) % (v - 3)) for w in str(t).split()
+                2 + (zlib.crc32(w.encode()) % (v - 3))
+                for w in str(t).split()
             ][: max_len - 1]
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1

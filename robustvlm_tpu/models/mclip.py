@@ -92,6 +92,10 @@ def import_open_clip_mclip(path: str, cfg: JaCLIPConfig) -> Params:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
+    if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+        # open_clip training checkpoints wrap the weights:
+        # {'epoch': ..., 'state_dict': {'module.visual...': ...}}
+        sd = sd["state_dict"]
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
 
     text_prefix = _find_prefix(sd, "embeddings.word_embeddings.weight")
@@ -116,7 +120,12 @@ def import_open_clip_mclip(path: str, cfg: JaCLIPConfig) -> Params:
         "out_w": jnp.asarray(_np(sd[proj_prefix + "proj.2.weight"]).T),
     }
 
-    vis_prefix = _find_prefix(sd, "conv1.weight") or "visual."
+    vis_prefix = _find_prefix(sd, "conv1.weight")
+    if vis_prefix is None:  # NOT `or`: '' is a legitimate unprefixed tower
+        raise ValueError(
+            "mclip checkpoint: no ViT vision tower found (*conv1.weight). "
+            f"First keys: {sorted(sd)[:10]}"
+        )
     visual = import_visual_state_dict(sd, cfg.vision, prefix=vis_prefix)
 
     return {
@@ -157,14 +166,19 @@ def get_mclip_tokenizer(path: Optional[str], cfg: JaCLIPConfig,
 
         return tokenize
 
+    import zlib
+
     v = cfg.text.vocab_size
 
     def tokenize(texts):
         ids = np.full((len(texts), max_len), cfg.text.pad_token_id, np.int32)
         mask = np.zeros((len(texts), max_len), np.int32)
         for i, t in enumerate(texts):
+            # crc32, not hash(): PYTHONHASHSEED-independent, so runs are
+            # reproducible across processes
             toks = [0] + [
-                3 + (hash(w) % (v - 4)) for w in str(t).split()
+                3 + (zlib.crc32(w.encode()) % (v - 4))
+                for w in str(t).split()
             ][: max_len - 2] + [2]  # <s> ... </s>
             ids[i, : len(toks)] = toks
             mask[i, : len(toks)] = 1

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence
@@ -152,7 +153,17 @@ class EnsembleRunner:
             self._models[precision] = self.make_model(precision)
         return self._models[precision]
 
-    def _load_state(self, ids, n_stages, left_to_attack, best_scores,
+    def _state_fingerprint(self, ids, schedule) -> Dict:
+        """Everything a resumed run must hold constant: the eval subset, the
+        attack budget, and the full per-stage schedule (kind/precision/
+        gt_idx/n_iter/targeted/target_str/init_from_best)."""
+        return {
+            "ids": [str(i) for i in ids],
+            "eps": self.eps,
+            "schedule": [dataclasses.asdict(s) for s in schedule],
+        }
+
+    def _load_state(self, ids, schedule, left_to_attack, best_scores,
                     best_outputs, best_adv, gt_dict) -> int:
         """Reload a prior run's per-stage checkpoint (see run(resume=True)).
         Returns the number of completed stages (0 = nothing to resume).
@@ -165,17 +176,20 @@ class EnsembleRunner:
         if not sp.exists():
             return 0
         st = json.loads(sp.read_text())
-        if st["ids"] != [str(i) for i in ids]:
+        fp = self._state_fingerprint(ids, schedule)
+        if st.get("ids") != fp["ids"]:
             raise ValueError(
                 "ensemble resume state does not match the current eval "
                 "subset — re-run with the SAME --seed/--num_samples (or "
                 "clear the out dir)"
             )
-        if st["n_stages"] != n_stages:
+        if st.get("eps") != fp["eps"] or st.get("schedule") != fp["schedule"]:
             raise ValueError(
-                f"ensemble resume state was written for a "
-                f"{st['n_stages']}-stage schedule, current has {n_stages} "
-                f"— clear the out dir to restart"
+                "ensemble resume state was written under a different "
+                "attack configuration (eps or stage schedule: n_iter/"
+                "targeted/target_str/precision) — completed stages would "
+                "silently mix with the new settings. Re-run with the same "
+                "flags, or clear the out dir to restart"
             )
         by_str = {str(i): i for i in ids}
         for k, v in st["left_to_attack"].items():
@@ -192,7 +206,7 @@ class EnsembleRunner:
         done = int(st["stages_done"])
         if self.verbose and done:
             print(
-                f"[ensemble] resuming after stage {done}/{n_stages} "
+                f"[ensemble] resuming after stage {done}/{len(schedule)} "
                 f"({sum(left_to_attack.values())}/{len(ids)} still active)",
                 flush=True,
             )
@@ -263,7 +277,7 @@ class EnsembleRunner:
             # saved adversarial tensors and skip completed stages. The
             # state is only valid for the SAME eval subset and schedule.
             start_stage = self._load_state(
-                ids, len(schedule), left_to_attack, best_scores,
+                ids, schedule, left_to_attack, best_scores,
                 best_outputs, best_adv, gt_dict,
             )
         t0 = time.time()
@@ -393,28 +407,37 @@ class EnsembleRunner:
                     save_adv_image(
                         best_adv[iid], str(self.out_dir / "adv"), iid
                     )
-                (self.out_dir / "ensemble_state.json").write_text(
-                    json.dumps({
-                        "ids": [str(i) for i in ids],
-                        "n_stages": len(schedule),
-                        "stages_done": a_idx + 1,
-                        "left_to_attack": {
-                            str(k): v for k, v in left_to_attack.items()
-                        },
-                        "best_scores": {
-                            str(k): v for k, v in best_scores.items()
-                        },
-                        "best_outputs": {
-                            str(k): v for k, v in best_outputs.items()
-                        },
-                        "gt_dict": gt_dict,
-                    })
+                # atomic replace: a crash mid-write must not destroy the
+                # previous good checkpoint (the whole point of resume)
+                state = dict(
+                    self._state_fingerprint(ids, schedule),
+                    stages_done=a_idx + 1,
+                    left_to_attack={
+                        str(k): v for k, v in left_to_attack.items()
+                    },
+                    best_scores={str(k): v for k, v in best_scores.items()},
+                    best_outputs={
+                        str(k): v for k, v in best_outputs.items()
+                    },
+                    gt_dict=gt_dict,
                 )
+                tmp = self.out_dir / "ensemble_state.json.tmp"
+                tmp.write_text(json.dumps(state))
+                os.replace(tmp, self.out_dir / "ensemble_state.json")
 
-        if save_adv and self.out_dir is not None:
-            for iid, adv in best_adv.items():
-                if adv is not None:
-                    save_adv_image(adv, str(self.out_dir / "adv"), iid)
+        # the per-stage adv/*.npy checkpoints already hold every item's
+        # final best (written when dirty), so a completed save_adv run has
+        # nothing left to write; with save_adv=False they were transient
+        # crash-resume state and a COMPLETED run cleans them up (resume
+        # after success is meaningless)
+        if self.out_dir is not None and not save_adv:
+            for iid in ids:
+                p = self.out_dir / "adv" / f"{iid}.npy"
+                if p.exists():
+                    p.unlink()
+            sp = self.out_dir / "ensemble_state.json"
+            if sp.exists():
+                sp.unlink()
 
         return {
             "scores": best_scores,

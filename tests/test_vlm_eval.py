@@ -626,12 +626,26 @@ class TestEnsembleResume:
         for i in ref["adv"]:
             np.testing.assert_allclose(res["adv"][i], ref["adv"][i], atol=1e-6)
 
+    def _crashed_state(self, tmp_path, ds, base_score, after_calls=5):
+        """Run until a mid-schedule crash so a resume checkpoint is left
+        behind (a COMPLETED save_adv=False run cleans its state up)."""
+        calls = {"n": 0}
+
+        def crashing(caption, item):
+            calls["n"] += 1
+            if calls["n"] == after_calls:
+                raise RuntimeError("simulated crash")
+            return base_score(caption, item)
+
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            self._runner(ds, tmp_path, crashing).run(
+                ds, self._schedule(), save_adv=False
+            )
+
     def test_resume_rejects_different_subset(self, tmp_path):
         ds = _SynthDS4()
         score = _corpus_score_fn(ds)
-        self._runner(ds, tmp_path, score).run(
-            ds, self._schedule(), save_adv=False
-        )
+        self._crashed_state(tmp_path, ds, score)
 
         class Shifted(_SynthDS4):
             def __getitem__(self, i):
@@ -644,6 +658,37 @@ class TestEnsembleResume:
                 Shifted(), self._schedule(), save_adv=False, resume=True
             )
 
+    def test_resume_rejects_different_attack_config(self, tmp_path):
+        """eps or any per-stage knob (n_iter/targeted/...) differing from
+        the checkpoint must refuse — completed stages would silently mix
+        with the new settings."""
+        import dataclasses
+
+        ds = _SynthDS4()
+        score = _corpus_score_fn(ds)
+        self._crashed_state(tmp_path, ds, score)
+
+        longer = [
+            dataclasses.replace(s, n_iter=s.n_iter * 2)
+            if s.kind != "none" else s
+            for s in self._schedule()
+        ]
+        with pytest.raises(ValueError, match="attack configuration"):
+            self._runner(ds, tmp_path, score).run(
+                ds, longer, save_adv=False, resume=True
+            )
+
+        from robustvlm_tpu.vlm_eval.ensemble import EnsembleRunner
+
+        other_eps = EnsembleRunner(
+            lambda prec: _llava_model(prec),
+            eps=4 / 255, score_fn=score, prompt_fn=_spec_prompt_fn,
+            threshold=-1.0, out_dir=str(tmp_path), max_new_tokens=4,
+            verbose=False,
+        )
+        with pytest.raises(ValueError, match="attack configuration"):
+            other_eps.run(ds, self._schedule(), save_adv=False, resume=True)
+
     def test_resume_without_state_starts_fresh(self, tmp_path):
         ds = _SynthDS4()
         score = _corpus_score_fn(ds)
@@ -651,6 +696,29 @@ class TestEnsembleResume:
             ds, self._schedule(), save_adv=False, resume=True
         )
         assert all(v is not None for v in res["outputs"].values())
+
+    def test_completed_run_adv_lifecycle(self, tmp_path):
+        """save_adv=False: transient resume files are cleaned on success.
+        save_adv=True: adv/*.npy persist (written at stage boundaries;
+        no redundant re-write pass)."""
+        ds = _SynthDS4()
+        score = _corpus_score_fn(ds)
+        self._runner(ds, tmp_path / "no", score).run(
+            ds, self._schedule(), save_adv=False
+        )
+        assert not (tmp_path / "no" / "ensemble_state.json").exists()
+        assert not list((tmp_path / "no" / "adv").glob("*.npy"))
+
+        res = self._runner(ds, tmp_path / "yes", score).run(
+            ds, self._schedule(), save_adv=True
+        )
+        saved = sorted((tmp_path / "yes" / "adv").glob("*.npy"))
+        assert len(saved) == len([a for a in res["adv"].values() if a is not None])
+        for p in saved:
+            iid = int(p.stem)
+            np.testing.assert_allclose(
+                np.load(p), res["adv"][iid], atol=1e-6
+            )
 
 
 class TestPope:
