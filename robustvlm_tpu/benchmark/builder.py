@@ -174,24 +174,60 @@ class WdsShardDataset:
         return x, caption
 
 
-class WdsBatchedLoader:
-    """Batch an iterable WdsShardDataset (classification mode)."""
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` on a background daemon thread, keeping up to `depth` items
+    ready — shard download + tar parse + JPEG decode overlap the consumer's
+    device compute (same double-buffer recipe as data/loaders.py). The
+    producer is bounded, so a slow consumer never accumulates memory;
+    producer exceptions re-raise at the consumer's next pull."""
+    import queue as _queue
+    import threading as _threading
 
-    def __init__(self, ds: WdsShardDataset, batch_size: int):
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    _END, _ERR = object(), object()
+
+    def producer():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised at consumer
+            q.put((_ERR, e))
+
+    _threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item
+
+
+class WdsBatchedLoader:
+    """Batch an iterable WdsShardDataset (classification mode), with the
+    stream decoded ahead on a background thread."""
+
+    def __init__(self, ds: WdsShardDataset, batch_size: int,
+                 prefetch: int = 2):
         self.ds = ds
         self.bs = batch_size
+        self.prefetch = prefetch
 
     def __iter__(self):
-        xs: List[np.ndarray] = []
-        ys: List[int] = []
-        for x, y in self.ds:
-            xs.append(x)
-            ys.append(y)
-            if len(xs) == self.bs:
+        def batches():
+            xs: List[np.ndarray] = []
+            ys: List[int] = []
+            for x, y in self.ds:
+                xs.append(x)
+                ys.append(y)
+                if len(xs) == self.bs:
+                    yield np.stack(xs), np.asarray(ys, np.int64)
+                    xs, ys = [], []
+            if xs:
                 yield np.stack(xs), np.asarray(ys, np.int64)
-                xs, ys = [], []
-        if xs:
-            yield np.stack(xs), np.asarray(ys, np.int64)
+
+        return prefetch_iter(batches(), self.prefetch)
 
 
 class WdsDataset:
@@ -257,7 +293,7 @@ class WdsDataset:
                         xs, caps = [], []
                 if xs:
                     yield np.stack(xs), caps
-            return gen()
+            return prefetch_iter(gen())
         return WdsBatchedLoader(self.samples, batch_size)
 
 

@@ -503,3 +503,40 @@ class TestModelPretrainedPairRows:
                 "--dataset", "synthetic", "--dataset_root", "",
                 "--task", "zeroshot_classification",
             ])
+
+
+class TestPrefetchIter:
+    """Background-thread stream prefetcher (builder.prefetch_iter): order
+    preserved, bounded memory, producer exceptions surface at the consumer."""
+
+    def test_order_and_completeness(self):
+        from robustvlm_tpu.benchmark.builder import prefetch_iter
+
+        assert list(prefetch_iter(iter(range(100)), depth=3)) == list(range(100))
+
+    def test_producer_exception_reraises(self):
+        from robustvlm_tpu.benchmark.builder import prefetch_iter
+
+        def gen():
+            yield 1
+            raise RuntimeError("shard fetch failed")
+
+        it = prefetch_iter(gen())
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="shard fetch failed"):
+            list(it)
+
+    def test_batched_loader_prefetches_same_batches(self, tmp_path):
+        from robustvlm_tpu.benchmark.builder import (
+            WdsBatchedLoader, WdsShardDataset,
+        )
+
+        shard = tmp_path / "shard-000000.tar"
+        TestWdsReader()._make_shard(shard)
+        a = list(WdsBatchedLoader(WdsShardDataset([shard], size=32), 4))
+        b_xs, b_ys = [], []
+        for x, y in WdsShardDataset([shard], size=32):
+            b_xs.append(x)
+            b_ys.append(y)
+        assert sum(len(x[1]) for x in a) == len(b_ys) == 6
+        np.testing.assert_allclose(a[0][0][0], b_xs[0], atol=0)
