@@ -5,6 +5,11 @@ loads an eval model (vlm_eval/eval_models.py adapter), registers with the
 controller, sends heartbeats, and answers /worker_generate requests (images
 as base64 PNG or raw float lists). Single worker process per TPU chip — the
 model runs jitted generation; the HTTP layer is a thin stdlib server.
+
+Beyond the reference: --batch-window-ms coalesces concurrent requests into
+one padded batched TPU call (see _Batcher) — the chip's per-example
+generation throughput rises with batch, which the reference's strictly
+per-request worker leaves on the table.
 """
 
 from __future__ import annotations
@@ -24,6 +29,89 @@ import numpy as np
 HEARTBEAT_INTERVAL = 30.0
 
 
+class _Batcher:
+    """Window-coalescing micro-batcher for /worker_generate.
+
+    Concurrent requests arriving within `window_ms` are grouped by their
+    generation config (max_new_tokens, num_beams) and run as ONE batched
+    `get_outputs` call, padded to `max_batch` by repeating the last row so
+    the compiled program has a single batch shape (the ensemble harness's
+    ragged-group padding trick). Per-example TPU throughput rises with
+    batch at serving sizes, and the fixed shape keeps the jit cache to one
+    entry per generation config. window_ms=0 disables batching (the
+    reference llava/serve worker is strictly one request per call)."""
+
+    def __init__(self, worker: "ModelWorker", window_ms: float,
+                 max_batch: int):
+        self.worker = worker
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.cv = threading.Condition()
+        self.pending: list = []  # (key, image, prompt, slot)
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, payload: dict) -> dict:
+        try:
+            image = self.worker.decode_image(payload)
+            prompt = self.worker._prompt(payload)
+        except Exception as e:
+            return {"text": "", "error_code": 1, "error": str(e)}
+        key = (
+            int(payload.get("max_new_tokens", 32)),
+            int(payload.get("num_beams", 1)),
+        )
+        slot = {"event": threading.Event(), "result": None}
+        with self.cv:
+            self.pending.append((key, image, prompt, slot))
+            self.cv.notify()
+        slot["event"].wait()
+        return slot["result"]
+
+    def _take_group(self):
+        """Block for the first request, linger `window` for more, then take
+        up to max_batch entries sharing the oldest request's config."""
+        with self.cv:
+            while not self.pending:
+                self.cv.wait()
+        deadline = time.time() + self.window
+        while time.time() < deadline:
+            with self.cv:
+                if len(self.pending) >= self.max_batch:
+                    break
+            time.sleep(min(0.002, self.window))
+        with self.cv:
+            key = self.pending[0][0]
+            grp = [p for p in self.pending if p[0] == key][: self.max_batch]
+            taken = set(map(id, grp))
+            self.pending = [p for p in self.pending if id(p) not in taken]
+        return key, grp
+
+    def _loop(self):
+        import jax.numpy as jnp
+
+        while True:
+            key, grp = self._take_group()
+            xs = [g[1] for g in grp]
+            prompts = [g[2] for g in grp]
+            n = len(xs)
+            while len(xs) < self.max_batch:  # pad to the compiled shape
+                xs.append(xs[-1])
+                prompts.append(prompts[-1])
+            try:
+                outs = self.worker.model.get_outputs(
+                    jnp.asarray(np.stack(xs)), prompts,
+                    max_new_tokens=key[0], num_beams=key[1],
+                )[:n]
+                results = [{"text": t, "error_code": 0} for t in outs]
+            except Exception as e:  # pragma: no cover
+                results = [
+                    {"text": "", "error_code": 1, "error": str(e)}
+                ] * n
+            for g, r in zip(grp, results):
+                g[3]["result"] = r
+                g[3]["event"].set()
+
+
 class ModelWorker:
     def __init__(
         self,
@@ -33,6 +121,8 @@ class ModelWorker:
         worker_address: str,
         controller_address: Optional[str] = None,
         image_size: int = 224,
+        batch_window_ms: float = 0.0,
+        max_batch: int = 8,
     ):
         self.model = eval_model
         self.model_name = model_name
@@ -41,6 +131,10 @@ class ModelWorker:
         self.image_size = image_size
         self.queue_length = 0
         self.lock = threading.Lock()
+        self.batcher = (
+            _Batcher(self, batch_window_ms, max_batch)
+            if batch_window_ms > 0 else None
+        )
         if controller_address:
             self.register()
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
@@ -133,6 +227,8 @@ class ModelWorker:
         with self.lock:
             self.queue_length += 1
         try:
+            if self.batcher is not None:
+                return self.batcher.submit(payload)
             x = jnp.asarray(self.decode_image(payload))[None]
             text = self.model.get_outputs(
                 x, [self._prompt(payload)],
@@ -228,6 +324,13 @@ def main(argv=None):
     p.add_argument("--clip_ckpt", default="")
     p.add_argument("--vision_encoder_pretrained", default="")
     p.add_argument("--tokenizer_path", default="")
+    p.add_argument("--batch-window-ms", type=float, default=0.0,
+                   help="coalesce concurrent /worker_generate requests "
+                        "arriving within this window into one batched TPU "
+                        "call (0 = per-request, the reference behavior)")
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="micro-batch cap; requests pad to this one "
+                        "compiled shape")
     args = p.parse_args(argv)
 
     from robustvlm_tpu.vlm_eval.run_evaluation import build_eval_model
@@ -239,6 +342,8 @@ def main(argv=None):
         worker_address=args.worker_address,
         controller_address=args.controller_address or None,
         image_size=size,
+        batch_window_ms=args.batch_window_ms,
+        max_batch=args.max_batch,
     )
     server = serve_worker(worker, args.host, args.port)
     print(f"worker listening on {args.host}:{args.port}")

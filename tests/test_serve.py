@@ -152,3 +152,94 @@ class TestWebUI:
             assert ei.value.code == 404
         finally:
             srv.shutdown()
+
+
+class TestMicroBatcher:
+    """Window-coalescing micro-batcher (ModelWorker batch_window_ms):
+    concurrent same-config requests run as ONE padded batched get_outputs
+    call; different generation configs split into separate calls;
+    window=0 keeps the reference's per-request behavior."""
+
+    class _FakeModel:
+        """Records every get_outputs batch; echoes prompt per row."""
+
+        def __init__(self):
+            self.calls = []
+
+        def get_caption_prompt(self, caption=None):
+            return "<image>Output:"
+
+        def get_vqa_prompt(self, q, a=None):
+            return f"<image>Q:{q} A:"
+
+        def get_outputs(self, x, prompts, max_new_tokens=32, num_beams=1):
+            self.calls.append(
+                (int(x.shape[0]), tuple(prompts), max_new_tokens, num_beams)
+            )
+            return [f"out:{p}:{max_new_tokens}" for p in prompts]
+
+    def _worker(self, model, window_ms, max_batch=4):
+        return ModelWorker(
+            model, "fake",
+            worker_address="http://local", controller_address=None,
+            image_size=8, batch_window_ms=window_ms, max_batch=max_batch,
+        )
+
+    def _payload(self, q=None, mnt=8):
+        img = np.zeros((3, 8, 8), np.float32).tolist()
+        p = {"image": img, "max_new_tokens": mnt}
+        if q is not None:
+            p["task"] = "vqa"
+            p["question"] = q
+        return p
+
+    def test_concurrent_requests_coalesce_into_one_padded_call(self):
+        model = self._FakeModel()
+        w = self._worker(model, window_ms=200.0, max_batch=4)
+        results = [None] * 3
+
+        def call(i):
+            results[i] = w.generate(self._payload(q=f"q{i}"))
+
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert all(r is not None and r["error_code"] == 0 for r in results)
+        # each caller got ITS OWN answer
+        for i, r in enumerate(results):
+            assert f"q{i}" in r["text"]
+        # one batched call, padded to max_batch
+        assert len(model.calls) == 1
+        assert model.calls[0][0] == 4  # padded batch shape
+        assert model.calls[0][2] == 8
+
+    def test_different_configs_split_into_separate_calls(self):
+        model = self._FakeModel()
+        w = self._worker(model, window_ms=150.0, max_batch=4)
+        results = {}
+
+        def call(name, mnt):
+            results[name] = w.generate(self._payload(q=name, mnt=mnt))
+
+        ts = [
+            threading.Thread(target=call, args=("a", 8)),
+            threading.Thread(target=call, args=("b", 16)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert results["a"]["text"].endswith(":8")
+        assert results["b"]["text"].endswith(":16")
+        assert len(model.calls) == 2
+        assert {c[2] for c in model.calls} == {8, 16}
+
+    def test_window_zero_is_per_request(self):
+        model = self._FakeModel()
+        w = self._worker(model, window_ms=0.0)
+        assert w.batcher is None
+        r = w.generate(self._payload())
+        assert r["error_code"] == 0
+        assert len(model.calls) == 1 and model.calls[0][0] == 1
