@@ -3,8 +3,9 @@
 # bash/of_eval_9B.sh (same protocol: ensemble, eps 2/255, 100 iters,
 # 500 samples, context frames masked out of the perturbation).
 # Fill the dataset/checkpoint paths for your machine.
+# --model_size 7b = full size (maps to the OF-9B config for this family)
 python -m robustvlm_tpu.vlm_eval.run_evaluation \
-  --model open_flamingo --model_size 7b \  # '7b' = full size (-> OF-9B config)
+  --model open_flamingo --model_size 7b \
   --of_ckpt /path/to/OpenFlamingo-9B-vitl-mpt7b/checkpoint.pt \
   --mpt_ckpt /path/to/mpt-7b \
   --tokenizer_path /path/to/mpt-7b \

@@ -43,6 +43,8 @@ class _Batcher:
 
     def __init__(self, worker: "ModelWorker", window_ms: float,
                  max_batch: int):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.worker = worker
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
@@ -69,18 +71,21 @@ class _Batcher:
 
     def _take_group(self):
         """Block for the first request, linger `window` for more, then take
-        up to max_batch entries sharing the oldest request's config."""
+        up to max_batch entries sharing the oldest request's config.
+        monotonic clock (a wall-clock step must not stretch or collapse the
+        window); the early-break counts only SAME-config entries, so mixed
+        traffic can't end the oldest key's window with a near-empty batch."""
         with self.cv:
             while not self.pending:
                 self.cv.wait()
-        deadline = time.time() + self.window
-        while time.time() < deadline:
+            key = self.pending[0][0]
+        deadline = time.monotonic() + self.window
+        while time.monotonic() < deadline:
             with self.cv:
-                if len(self.pending) >= self.max_batch:
+                if sum(1 for p in self.pending if p[0] == key) >= self.max_batch:
                     break
             time.sleep(min(0.002, self.window))
         with self.cv:
-            key = self.pending[0][0]
             grp = [p for p in self.pending if p[0] == key][: self.max_batch]
             taken = set(map(id, grp))
             self.pending = [p for p in self.pending if id(p) not in taken]

@@ -540,3 +540,33 @@ class TestPrefetchIter:
             b_ys.append(y)
         assert sum(len(x[1]) for x in a) == len(b_ys) == 6
         np.testing.assert_allclose(a[0][0][0], b_xs[0], atol=0)
+
+    def test_abandoned_consumer_releases_producer(self):
+        """An n_samples-capped run abandons the prefetch generator mid-
+        stream; the producer must exit (releasing its thread, buffered
+        items, and the open shard handle) instead of blocking forever."""
+        import threading
+        import time as _time
+
+        from robustvlm_tpu.benchmark.builder import prefetch_iter
+
+        closed = {"v": False}
+
+        def gen():
+            try:
+                for i in range(1000):
+                    yield i
+            finally:
+                closed["v"] = True  # generator finalized = handles released
+
+        before = threading.active_count()
+        it = prefetch_iter(gen(), depth=2)
+        assert next(it) == 0
+        it.close()  # abandon (what _truncate_batches' early return does)
+        deadline = _time.monotonic() + 5.0
+        while _time.monotonic() < deadline and (
+            not closed["v"] or threading.active_count() > before
+        ):
+            _time.sleep(0.05)
+        assert closed["v"], "producer generator never finalized (leak)"
+        assert threading.active_count() <= before, "producer thread leaked"

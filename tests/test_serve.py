@@ -243,3 +243,38 @@ class TestMicroBatcher:
         r = w.generate(self._payload())
         assert r["error_code"] == 0
         assert len(model.calls) == 1 and model.calls[0][0] == 1
+
+    def test_mixed_config_traffic_waits_for_same_key_fill(self):
+        """The linger early-break must count only same-config requests: a
+        burst of other-config traffic can't cut the oldest key's window
+        into a near-empty padded batch."""
+        import time as _time
+
+        model = self._FakeModel()
+        w = self._worker(model, window_ms=400.0, max_batch=2)
+        results = {}
+
+        def call(name, mnt, delay=0.0):
+            _time.sleep(delay)
+            results[name] = w.generate(self._payload(q=name, mnt=mnt))
+
+        # one mnt=8 request, then a burst of mnt=16, then a second mnt=8
+        # inside the window: the first call must batch BOTH mnt=8 requests
+        ts = [
+            threading.Thread(target=call, args=("a0", 8)),
+            threading.Thread(target=call, args=("b0", 16, 0.02)),
+            threading.Thread(target=call, args=("b1", 16, 0.02)),
+            threading.Thread(target=call, args=("a1", 8, 0.1)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert all(r["error_code"] == 0 for r in results.values())
+        mnt8_calls = [c for c in model.calls if c[2] == 8]
+        assert len(mnt8_calls) == 1, model.calls
+        assert {p.split("Q:")[1][:2] for p in mnt8_calls[0][1]} == {"a0", "a1"}
+
+    def test_invalid_max_batch_rejected(self):
+        with pytest.raises(ValueError, match="max_batch"):
+            self._worker(self._FakeModel(), window_ms=10.0, max_batch=0)
