@@ -30,6 +30,7 @@ from robustvlm_tpu.data.loaders import (
     SyntheticClassificationDataset,
     default_image_transform,
     load_cifar10,
+    prefetch_iter,
 )
 
 IMG_KEYS = ("jpg", "jpeg", "png", "webp", "bmp")
@@ -174,51 +175,10 @@ class WdsShardDataset:
         return x, caption
 
 
-def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
-    """Run `it` on a background daemon thread, keeping up to `depth` items
-    ready — shard download + tar parse + JPEG decode overlap the consumer's
-    device compute (same double-buffer recipe as data/loaders.py, including
-    its stop-Event shutdown: an abandoned consumer — e.g. an n_samples cap
-    truncating the stream mid-shard — unblocks the producer so the thread,
-    its buffered batches, and the open shard handle are released instead of
-    leaking for the process lifetime). Producer exceptions re-raise at the
-    consumer's next pull."""
-    import queue as _queue
-    import threading as _threading
-
-    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
-    stop = _threading.Event()
-    _END, _ERR = object(), object()
-
-    def put(item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except _queue.Full:
-                continue
-        return False
-
-    def producer():
-        try:
-            for item in it:
-                if not put(item):
-                    return  # consumer gone: exit, closing `it`'s handles
-            put(_END)
-        except BaseException as e:  # noqa: BLE001 - re-raised at consumer
-            put((_ERR, e))
-
-    _threading.Thread(target=producer, daemon=True).start()
-    try:
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-                raise item[1]
-            yield item
-    finally:
-        stop.set()
+# prefetch_iter (imported above) is the ONE shared double-buffer
+# prefetcher — stop-Event shutdown, bounded queue, producer-exception
+# re-raise — living with the data layer; the streamed-wds loaders below
+# are its second consumer.
 
 
 class WdsBatchedLoader:

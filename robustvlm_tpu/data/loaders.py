@@ -121,6 +121,48 @@ def load_cifar10(root: str, train: bool = False, n_examples: Optional[int] = Non
     return x, y
 
 
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` on a background daemon thread, keeping up to `depth` items
+    ready — host decode overlaps the consumer's device compute. The ONE
+    shared double-buffer implementation (DataLoader and the streamed-wds
+    loaders both use it): bounded queue, stop-Event shutdown so an
+    abandoned consumer releases the producer thread/buffers/handles, and
+    producer exceptions re-raised at the consumer's next pull."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for item in it:
+                if not put(item):
+                    return  # consumer gone: exit, closing `it`'s handles
+            put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised at consumer
+            put((_ERR, e))
+
+    threading.Thread(target=producer, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+
+
 class DataLoader:
     """Shuffling, batching, background-prefetching loader."""
 
@@ -165,41 +207,12 @@ class DataLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
         n_batches = len(self)
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        # abandoned iterators (e.g. a next(iter(loader)) eval probe) must
-        # release the producer: a blocked q.put would otherwise pin the
-        # thread plus `prefetch` decoded batches for the process lifetime
-        stop = threading.Event()
 
-        def producer():
+        def batches():
             for b in range(n_batches):
-                idxs = order[b * self.bs : (b + 1) * self.bs]
-                item = self._load_batch(idxs)
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
-                    return
-            while not stop.is_set():
-                try:
-                    q.put(None, timeout=0.2)
-                    return
-                except queue.Full:
-                    continue
+                yield self._load_batch(order[b * self.bs : (b + 1) * self.bs])
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                yield item
-        finally:
-            stop.set()
+        return prefetch_iter(batches(), self.prefetch)
 
 
 class COCOFlickrDataset:

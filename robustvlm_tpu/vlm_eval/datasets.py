@@ -243,10 +243,18 @@ class TensorCaptionDataset:
 
 
 def save_adv_image(x: np.ndarray, adv_root: str, image_id) -> str:
+    """Atomic write (tmp + os.replace): these files double as the ensemble
+    harness's crash-resume state, so a crash mid-write must never leave a
+    truncated tensor that poisons the next --resume."""
+    import os
+
     p = Path(adv_root)
     p.mkdir(parents=True, exist_ok=True)
     path = p / f"{image_id}.npy"
-    np.save(path, np.asarray(x, np.float32))
+    tmp = p / f"{image_id}.npy.tmp"
+    with open(tmp, "wb") as f:  # file object: np.save won't rename it
+        np.save(f, np.asarray(x, np.float32))
+    os.replace(tmp, path)
     return str(path)
 
 

@@ -153,17 +153,19 @@ class EnsembleRunner:
             self._models[precision] = self.make_model(precision)
         return self._models[precision]
 
-    def _state_fingerprint(self, ids, schedule) -> Dict:
+    def _state_fingerprint(self, ids, schedule, seed) -> Dict:
         """Everything a resumed run must hold constant: the eval subset, the
+        run seed (it steers few-shot demo sampling and random starts), the
         attack budget, and the full per-stage schedule (kind/precision/
         gt_idx/n_iter/targeted/target_str/init_from_best)."""
         return {
             "ids": [str(i) for i in ids],
+            "seed": int(seed),
             "eps": self.eps,
             "schedule": [dataclasses.asdict(s) for s in schedule],
         }
 
-    def _load_state(self, ids, schedule, left_to_attack, best_scores,
+    def _load_state(self, ids, schedule, seed, left_to_attack, best_scores,
                     best_outputs, best_adv, gt_dict) -> int:
         """Reload a prior run's per-stage checkpoint (see run(resume=True)).
         Returns the number of completed stages (0 = nothing to resume).
@@ -176,12 +178,12 @@ class EnsembleRunner:
         if not sp.exists():
             return 0
         st = json.loads(sp.read_text())
-        fp = self._state_fingerprint(ids, schedule)
-        if st.get("ids") != fp["ids"]:
+        fp = self._state_fingerprint(ids, schedule, seed)
+        if st.get("ids") != fp["ids"] or st.get("seed") != fp["seed"]:
             raise ValueError(
                 "ensemble resume state does not match the current eval "
-                "subset — re-run with the SAME --seed/--num_samples (or "
-                "clear the out dir)"
+                "subset/seed — re-run with the SAME --seed/--num_samples "
+                "(or clear the out dir)"
             )
         if st.get("eps") != fp["eps"] or st.get("schedule") != fp["schedule"]:
             raise ValueError(
@@ -277,7 +279,7 @@ class EnsembleRunner:
             # saved adversarial tensors and skip completed stages. The
             # state is only valid for the SAME eval subset and schedule.
             start_stage = self._load_state(
-                ids, schedule, left_to_attack, best_scores,
+                ids, schedule, seed, left_to_attack, best_scores,
                 best_outputs, best_adv, gt_dict,
             )
         t0 = time.time()
@@ -410,7 +412,7 @@ class EnsembleRunner:
                 # atomic replace: a crash mid-write must not destroy the
                 # previous good checkpoint (the whole point of resume)
                 state = dict(
-                    self._state_fingerprint(ids, schedule),
+                    self._state_fingerprint(ids, schedule, seed),
                     stages_done=a_idx + 1,
                     left_to_attack={
                         str(k): v for k, v in left_to_attack.items()

@@ -20,8 +20,9 @@ behavior of pycocoevalcap's PTBTokenizer pipeline (Stanford PTBTokenizer
 and contractions split into their own tokens ("dog's" -> ["dog", "'s"],
 "isn't" -> ["is", "n't"]), acronym periods kept ("U.S." -> ["u.s."]),
 hyphenated words intact ("red-striped"), digit-internal commas kept
-("1,000"), and all pure-punctuation tokens (including PTB's "--", "...",
-bracket and quote tokens) dropped. Hand-derived golden values in
+("1,000"), % and $ detached as standalone surviving tokens ("50%" ->
+["50", "%"]), and all pure-punctuation tokens (including PTB's "--",
+"...", bracket and quote tokens) dropped. Hand-derived golden values in
 tests/test_vlm_eval.py pin the scorer to the pycocoevalcap algorithm on
 pre-tokenized fixtures; tests/test_vlm_eval.py::TestPtbTokenize pins the
 tokenizer on the cases above. Residual drift vs the Java tokenizer:
@@ -63,6 +64,9 @@ def tokenize(s: str) -> List[str]:
     s = re.sub(r"[;:?!()\[\]{}<>\"“”‘’`]", " ", s)
     # commas split (and die) except between digits ("1,000" stays whole)
     s = re.sub(r"(?<!\d),|,(?!\d)", " ", s)
+    # % and $ are standalone PTB tokens ("50%" -> "50 %", "$5" -> "$ 5")
+    # that SURVIVE the reference filter (neither is in PUNCTUATIONS)
+    s = re.sub(r"([%$])", r" \1 ", s)
     # contractions: "isn't" -> "is n't", then possessives/clitics
     s = re.sub(r"(\w)(n't)\b", r"\1 \2", s)
     s = re.sub(r"(\w)('s|'m|'d|'ll|'re|'ve)\b", r"\1 \2", s)
@@ -77,9 +81,9 @@ def tokenize(s: str) -> List[str]:
         # trailing sentence periods split off (and die); acronyms keep them
         while tok.endswith(".") and not _ACRONYM.match(tok):
             tok = tok[:-1]
-        # pure-punctuation leftovers ("-", em-dashes) are filtered; "&" is
-        # a real PTB token that survives the reference filter
-        if tok == "&" or re.search(r"[a-z0-9]", tok):
+        # pure-punctuation leftovers ("-", em-dashes) are filtered; "&",
+        # "%", "$" are real PTB tokens that survive the reference filter
+        if tok in ("&", "%", "$") or re.search(r"[a-z0-9]", tok):
             out.append(tok)
     return out
 

@@ -261,7 +261,8 @@ def _image_size(args) -> int:
 
 def evaluate_captioning(args, dataset_name: str, image_dir: str,
                         annotations: str, *, num_shots: int = 0,
-                        seed: Optional[int] = None) -> Dict:
+                        seed: Optional[int] = None,
+                        trial: Optional[int] = None) -> Dict:
     from robustvlm_tpu.vlm_eval.datasets import CaptionDataset, TensorCaptionDataset
     from robustvlm_tpu.vlm_eval.ensemble import (
         AttackSpec, EnsembleRunner, attack_success_rate,
@@ -352,8 +353,13 @@ def evaluate_captioning(args, dataset_name: str, image_dir: str,
     else:
         schedule = default_captioning_schedule(args.n_iter, target_str=tgt)
 
+    # per-trial out dirs: trials of a shots x trials grid must not share
+    # adversarial tensors or the crash-resume checkpoint (a later trial
+    # resuming an earlier trial's state would replay its results verbatim)
     out_dir = Path(args.out_base_path) / (
-        dataset_name if num_shots == 0 else f"{dataset_name}_shots{num_shots}"
+        (dataset_name if num_shots == 0
+         else f"{dataset_name}_shots{num_shots}")
+        + ("" if trial is None else f"_trial{trial}")
     )
     runner = EnsembleRunner(
         lambda prec: build_eval_model(args, prec),
@@ -408,7 +414,8 @@ def vqa_layout_for_dir(dataset_name: str, image_dir: str) -> dict:
 
 
 def evaluate_vqa(args, dataset_name: str = "vqav2", *, num_shots: int = 0,
-                 seed: Optional[int] = None) -> Dict:
+                 seed: Optional[int] = None,
+                 trial: Optional[int] = None) -> Dict:
     from robustvlm_tpu.vlm_eval.datasets import VQADataset
     from robustvlm_tpu.vlm_eval.ensemble import (
         AttackSpec, EnsembleRunner, default_vqa_schedule,
@@ -506,8 +513,13 @@ def evaluate_vqa(args, dataset_name: str = "vqav2", *, num_shots: int = 0,
     else:
         schedule = default_vqa_schedule(args.n_iter, target_str=tgt)
 
+    # per-trial out dirs: trials of a shots x trials grid must not share
+    # adversarial tensors or the crash-resume checkpoint (a later trial
+    # resuming an earlier trial's state would replay its results verbatim)
     out_dir = Path(args.out_base_path) / (
-        dataset_name if num_shots == 0 else f"{dataset_name}_shots{num_shots}"
+        (dataset_name if num_shots == 0
+         else f"{dataset_name}_shots{num_shots}")
+        + ("" if trial is None else f"_trial{trial}")
     )
     runner = EnsembleRunner(
         lambda prec: build_eval_model(args, prec),
@@ -567,7 +579,8 @@ def main(argv=None):
             sfx = "" if default_grid else f"_shots{num_shots}"
             if args.num_trials > 1:
                 sfx += f"_trial{trial}"
-            kw = dict(num_shots=num_shots, seed=seed)
+            kw = dict(num_shots=num_shots, seed=seed,
+                      trial=trial if args.num_trials > 1 else None)
             if args.eval_coco:
                 results["coco" + sfx] = evaluate_captioning(
                     args, "coco", args.coco_image_dir, args.coco_annotations,

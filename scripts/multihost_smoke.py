@@ -42,11 +42,15 @@ if os.environ.get("JAX_PLATFORMS"):
 
 def main():
     # on TPU pods jax.distributed.initialize() autodetects; on CPU/GPU set
-    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or jax.default_backend() == "tpu":
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    # NOTE: initialize() must run before ANY backend query — even
+    # jax.default_backend() would initialize XLA and make it fail — so the
+    # skip decision consults only the environment. SMOKE_NO_DIST=1 skips
+    # explicitly (e.g. a local CPU dry run).
+    if not os.environ.get("SMOKE_NO_DIST"):
         try:
             jax.distributed.initialize()
-        except Exception as e:  # already initialized / single host
+        except Exception as e:  # single-process run / already initialized
             print(f"[smoke] distributed init skipped: {e}", file=sys.stderr)
 
     from robustvlm_tpu.parallel.multihost import (

@@ -474,6 +474,12 @@ class TestTrialMeans:
             res["coco_shots0_trial0"]["cider"],
             res["coco_shots0_trial1"]["cider"],
         ]))
+        # trials must NOT share an out dir: a later trial resuming an
+        # earlier trial's ensemble_state.json would replay its results
+        # (out dirs keep the bare dataset name at 0 shots)
+        assert (tmp_path / "out" / "coco_trial0").is_dir()
+        assert (tmp_path / "out" / "coco_trial1").is_dir()
+        assert not (tmp_path / "out" / "coco").exists()
 
 
 class TestFewShotVQAE2E:

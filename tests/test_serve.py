@@ -195,7 +195,9 @@ class TestMicroBatcher:
 
     def test_concurrent_requests_coalesce_into_one_padded_call(self):
         model = self._FakeModel()
-        w = self._worker(model, window_ms=200.0, max_batch=4)
+        # window only has to outlast thread STARTUP on the loaded 1-CPU
+        # xdist box; the batch fires at window expiry regardless
+        w = self._worker(model, window_ms=1500.0, max_batch=4)
         results = [None] * 3
 
         def call(i):
@@ -216,21 +218,30 @@ class TestMicroBatcher:
         assert model.calls[0][2] == 8
 
     def test_different_configs_split_into_separate_calls(self):
+        import time as _time
+
         model = self._FakeModel()
-        w = self._worker(model, window_ms=150.0, max_batch=4)
+        w = self._worker(model, window_ms=300.0, max_batch=4)
         results = {}
 
         def call(name, mnt):
             results[name] = w.generate(self._payload(q=name, mnt=mnt))
 
+        # both requests observably enqueued before either window closes
         ts = [
             threading.Thread(target=call, args=("a", 8)),
             threading.Thread(target=call, args=("b", 16)),
         ]
+        ts[0].start()
+        deadline = _time.monotonic() + 20
+        while _time.monotonic() < deadline:
+            with w.batcher.cv:
+                if w.batcher.pending:
+                    break
+            _time.sleep(0.005)
+        ts[1].start()
         for t in ts:
-            t.start()
-        for t in ts:
-            t.join(timeout=30)
+            t.join(timeout=60)
         assert results["a"]["text"].endswith(":8")
         assert results["b"]["text"].endswith(":16")
         assert len(model.calls) == 2
@@ -247,29 +258,43 @@ class TestMicroBatcher:
     def test_mixed_config_traffic_waits_for_same_key_fill(self):
         """The linger early-break must count only same-config requests: a
         burst of other-config traffic can't cut the oldest key's window
-        into a near-empty padded batch."""
+        into a near-empty padded batch. Orderings are made OBSERVABLE (poll
+        the pending queue) instead of sleep-raced — the 1-CPU test box with
+        3 xdist workers can delay thread starts past any fixed margin."""
         import time as _time
 
         model = self._FakeModel()
-        w = self._worker(model, window_ms=400.0, max_batch=2)
+        # generous window: the test ends as soon as the same-key fill is
+        # reached, so a large window costs nothing when the logic is right
+        w = self._worker(model, window_ms=5000.0, max_batch=2)
         results = {}
 
-        def call(name, mnt, delay=0.0):
-            _time.sleep(delay)
+        def call(name, mnt):
             results[name] = w.generate(self._payload(q=name, mnt=mnt))
 
-        # one mnt=8 request, then a burst of mnt=16, then a second mnt=8
-        # inside the window: the first call must batch BOTH mnt=8 requests
-        ts = [
-            threading.Thread(target=call, args=("a0", 8)),
-            threading.Thread(target=call, args=("b0", 16, 0.02)),
-            threading.Thread(target=call, args=("b1", 16, 0.02)),
-            threading.Thread(target=call, args=("a1", 8, 0.1)),
-        ]
+        def wait_pending(n):
+            deadline = _time.monotonic() + 20
+            while _time.monotonic() < deadline:
+                with w.batcher.cv:
+                    if len(w.batcher.pending) >= n:
+                        return
+                _time.sleep(0.005)
+            raise AssertionError(f"pending never reached {n}")
+
+        # a0 enqueues FIRST (observed), then the other-config burst, then
+        # the same-config a1 — which must complete a0's batch
+        t_a0 = threading.Thread(target=call, args=("a0", 8))
+        t_a0.start()
+        wait_pending(1)
+        ts = [threading.Thread(target=call, args=("b0", 16)),
+              threading.Thread(target=call, args=("b1", 16))]
         for t in ts:
             t.start()
-        for t in ts:
-            t.join(timeout=30)
+        wait_pending(3)
+        t_a1 = threading.Thread(target=call, args=("a1", 8))
+        t_a1.start()
+        for t in [t_a0, *ts, t_a1]:
+            t.join(timeout=60)
         assert all(r["error_code"] == 0 for r in results.values())
         mnt8_calls = [c for c in model.calls if c[2] == 8]
         assert len(mnt8_calls) == 1, model.calls

@@ -88,6 +88,10 @@ class TestPtbTokenize:
         ("we'll see they're we've i'm i'd",
          ["we", "'ll", "see", "they", "'re", "we", "'ve", "i", "'m",
           "i", "'d"]),
+        # % and $ are standalone Stanford tokens NOT in the PUNCTUATIONS
+        # filter — they survive, detached from their numbers
+        ("a 50% off sign costs $5 today",
+         ["a", "50", "%", "off", "sign", "costs", "$", "5", "today"]),
     ]
 
     def test_ptb_effective_tokens(self):
