@@ -171,7 +171,10 @@ class EnsembleRunner:
         Returns the number of completed stages (0 = nothing to resume).
         A crash mid-stage resumes from the last stage BOUNDARY — the
         partial stage re-runs, and per-item worst-case bookkeeping makes
-        the re-run idempotent."""
+        the re-run idempotent. A crash between the adv-file writes and the
+        state replace can leave some adv tensors one stage AHEAD of the
+        loaded scores; the re-run stage recomputes and re-ranks them, so
+        results stay within the attack's normal trajectory variation."""
         if self.out_dir is None:
             raise ValueError("resume=True requires out_dir")
         sp = self.out_dir / "ensemble_state.json"
