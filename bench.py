@@ -77,6 +77,33 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+
+def _watchdog(seconds: float):
+    """A wedged TPU pool makes the first device touch block INDEFINITELY
+    (claim_timeout is infinite — see CLAUDE.md): without a watchdog the
+    driver's bench run would hang the round instead of recording a
+    failure. On expiry, print an honest error JSON line and exit nonzero.
+    BENCH_WATCHDOG_S=0 disables."""
+    import json as _json
+    import threading as _threading
+
+    def fire():
+        print(_json.dumps({
+            "metric": "apgd_attack_steps_per_sec_per_chip_vitl14",
+            "value": None,
+            "unit": "example-steps/s/chip",
+            "error": f"TPU unreachable: no measurement within {seconds:.0f}s "
+                     "(pool claim wedged — see CLAUDE.md); previous measured "
+                     "value 309.4 (BENCH notes)",
+        }), flush=True)
+        os._exit(3)
+
+    t = _threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 A100_ANCHOR_STEPS_PER_SEC = 80.0
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
@@ -280,7 +307,11 @@ def main():
 
 
 if __name__ == "__main__":
+    wd_s = float(os.environ.get("BENCH_WATCHDOG_S", 1500))
+    wd = _watchdog(wd_s) if wd_s > 0 else None
     if os.environ.get("BENCH_TRAIN"):
         main_train()
     else:
         main()
+    if wd is not None:
+        wd.cancel()
