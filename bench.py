@@ -78,25 +78,89 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# "init" until the first device-touching call returns; flipped to
+# "device_ok" by _mark_device_ok() right after warmup. The watchdog only
+# hard-exits in "init": past it, the process may be mid-TPU-step, and
+# killing a chip-holding process wedges the pool for hours (CLAUDE.md) —
+# the exact failure the watchdog exists to report.
+_STAGE = {"v": "init"}
+
+
+def _mark_device_ok():
+    _STAGE["v"] = "device_ok"
+
+
+def _latest_bench_value():
+    """Newest non-null driver-captured value (BENCH_r*.json 'parsed' blocks)
+    — replaces a hardcoded previous-value string that would go stale."""
+    import glob
+
+    latest = None
+    for f in sorted(glob.glob(os.path.join(_REPO, "BENCH_r[0-9]*.json"))):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        v = (d.get("parsed") or {}).get("value")
+        if v is not None:
+            latest = f"{v} ({os.path.basename(f)})"
+    return latest
+
+
+def _probe_pool(timeout_s: float = 45.0):
+    """Bounded pool probe (scripts/tpu_probe.py) so a wedged round is
+    self-diagnosing. Only called from the watchdog while THIS process is
+    still blocked in the claim queue — the probe child is a second queued
+    claimant, killed before any grant, which does not deepen the wedge."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "scripts", "tpu_probe.py"),
+             str(timeout_s)],
+            capture_output=True, text=True, timeout=timeout_s + 30,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 — diagnostics must never raise
+        return {"tpu_ok": False, "error": f"probe failed: {e!r}"}
+
+
 def _watchdog(seconds: float):
     """A wedged TPU pool makes the first device touch block INDEFINITELY
     (claim_timeout is infinite — see CLAUDE.md): without a watchdog the
     driver's bench run would hang the round instead of recording a
-    failure. On expiry, print an honest error JSON line and exit nonzero.
-    BENCH_WATCHDOG_S=0 disables."""
-    import json as _json
+    failure. On expiry, print an honest error JSON line; hard-exit ONLY if
+    the device was never granted (still queued in the claim — safe to
+    kill). If the run is merely slow (cold compile, first run), the error
+    line notes the run continues and the real measurement prints LAST, so
+    last-line parsers still record it. BENCH_WATCHDOG_S=0 disables."""
     import threading as _threading
 
     def fire():
-        print(_json.dumps({
+        queued = _STAGE["v"] == "init"
+        prev = _latest_bench_value()
+        err = {
             "metric": "apgd_attack_steps_per_sec_per_chip_vitl14",
             "value": None,
             "unit": "example-steps/s/chip",
-            "error": f"TPU unreachable: no measurement within {seconds:.0f}s "
-                     "(pool claim wedged — see CLAUDE.md); previous measured "
-                     "value 309.4 (BENCH notes)",
-        }), flush=True)
-        os._exit(3)
+            "error": (
+                f"no measurement within {seconds:.0f}s: "
+                + ("TPU device never granted (pool claim wedged — see "
+                   "CLAUDE.md)" if queued
+                   else "device granted but run still in flight (slow "
+                        "compile?); leaving it to finish — a later JSON "
+                        "line supersedes this one")
+            ),
+            "tpu_probe": _probe_pool() if queued else {"tpu_ok": True},
+        }
+        if prev is not None:
+            err["previous_measured"] = prev
+        print(json.dumps(err), flush=True)
+        if queued:
+            os._exit(3)
 
     t = _threading.Timer(seconds, fire)
     t.daemon = True
@@ -160,6 +224,12 @@ def main_train():
     accum = int(os.environ.get("BENCH_TRAIN_ACCUM", 16))
     n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", 8))
 
+    # cheap device touch: once the claim is granted the watchdog must never
+    # hard-exit (killing a chip-holding process wedges the pool)
+    jax.devices()
+    float(jnp.sum(jnp.ones((8, 8))))
+    _mark_device_ok()
+
     clip_cfg = CLIP_CONFIGS["ViT-L-14"]
     tcfg = TrainConfig(
         loss="l2", inner_loss="l2", attack="pgd", eps=4.0 / 255.0,
@@ -213,6 +283,12 @@ def main():
     from robustvlm_tpu.models.clip.model import encode_image
     from robustvlm_tpu.ops.image import normalize_clip
     from robustvlm_tpu.ops.losses import ce_loss
+
+    # cheap device touch: once the claim is granted the watchdog must never
+    # hard-exit (killing a chip-holding process wedges the pool)
+    jax.devices()
+    float(jnp.sum(jnp.ones((8, 8))))
+    _mark_device_ok()
 
     cfg = CLIP_CONFIGS["ViT-L-14"]
     params = jax.tree.map(

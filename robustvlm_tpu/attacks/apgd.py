@@ -262,8 +262,11 @@ def apgd_attack(
         return loss_indiv, jnp.zeros_like(xa), pred_correct
 
     # default on for deterministic models; pass False to trade the saved
-    # final backward for a smaller program (the lax.cond carries both
-    # branches' temporaries — measurable HBM on 7B-scale models)
+    # final backward for a smaller program (the fwd-only final iteration is
+    # a TRACE-time epilogue appended after the scan — a second instantiation
+    # of the model forward + bookkeeping in the same program, whose loop
+    # temporaries XLA plans alongside the scan's: measurable HBM on
+    # 7B-scale models; on the host-loop path it is a third compiled program)
     if skip_last_grad is None:
         skip_last_grad = eot_iter <= 1 and model_rng_fn is None
     else:

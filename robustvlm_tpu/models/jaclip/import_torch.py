@@ -123,7 +123,11 @@ def import_rinna_jaclip(path: str, cfg: JaCLIPConfig) -> Dict[str, Any]:
     if proj.shape[0] == cfg.embed_dim:  # HF Linear (out, in) -> (in, out)
         proj = proj.T
 
-    vis_prefix = _find_prefix(sd, "conv1.weight") or "visual."
+    # NOT `or`: '' is a legitimate unprefixed tower (same as the mclip
+    # importer) — only substitute 'visual.' when no prefix matched at all
+    vis_prefix = _find_prefix(sd, "conv1.weight")
+    if vis_prefix is None:
+        vis_prefix = "visual."
     visual = import_visual_state_dict(sd, cfg.vision, prefix=vis_prefix)
 
     out = {

@@ -256,14 +256,18 @@ def llama_forward(
     if remat:
         body = jax.checkpoint(body)
     if unroll_blocks:
-        # Python-unrolled block loop: identical math to the scan, but the
-        # per-layer weights reach each dot_general as static slices of the
-        # stacked tree, so XLA folds the transpose into the matmul instead
-        # of relayout-copying the WHOLE (L, d, d) stacks to the scan's
-        # preferred xs layout. Measured on v5e with LLaMA-7B grad-wrt-pixels:
-        # the scan path allocates 4 x 1.0 GiB attention-weight copies (OOM
-        # at 17.3/15.75 GiB); the unrolled path fits. Costs O(L) program
-        # size -> slower compiles; keep the scan default everywhere else.
+        # Python-unrolled block loop over the STACKED tree: identical math
+        # to the scan. Measured on v5e with LLaMA-7B grad-wrt-pixels
+        # (scripts/bench_llava7b.py HBM journey): the scan relayout-copies
+        # the 4 stacked (32,4096,4096) attention weights (+4.1 GiB, compile
+        # OOM at 17.3/15.75 GiB) and this unrolled-over-stacked path is
+        # WORSE still (25.4 GiB — the copies remain, plus per-layer slice
+        # fusions). Neither fits 7B grad-wrt-pixels on one 16 GiB chip; the
+        # config that fits uses UNSTACKED per-layer weight trees so the
+        # stack never exists (bench_llava7b._init_bf16_on_device +
+        # _make_unstacked_loss). unroll_blocks stays useful only for small
+        # models where layout experiments matter more than the O(L) program
+        # size; keep the scan default everywhere else.
         for i in range(cfg.n_layers):
             x, _ = body(x, jax.tree.map(lambda a, i=i: a[i], blocks))
     else:

@@ -150,7 +150,18 @@ class EnsembleRunner:
 
     def _model(self, precision: str):
         if precision not in self._models:
-            self._models[precision] = self.make_model(precision)
+            model = self.make_model(precision)
+            # batched stages tokenize per-GROUP: adapters that pad token
+            # arrays to the group max (Flamingo) would retrace the attack
+            # core per distinct length as the active set shrinks — bucket
+            # the pad length so every group hits a handful of compiled
+            # programs at most (exact: end-padding is loss-invariant)
+            if (
+                self.batch_size > 1
+                and getattr(model, "pad_to_multiple", "absent") is None
+            ):
+                model.pad_to_multiple = 32
+            self._models[precision] = model
         return self._models[precision]
 
     def _state_fingerprint(self, ids, schedule, seed) -> Dict:

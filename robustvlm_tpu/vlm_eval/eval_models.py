@@ -254,6 +254,7 @@ class FlamingoEvalModel:
         compute_dtype=jnp.bfloat16,
         remat: bool = False,
         max_len: int = 128,
+        pad_to_multiple: Optional[int] = None,
     ):
         from robustvlm_tpu.models.flamingo.model import flamingo_per_sample_loss
 
@@ -263,6 +264,13 @@ class FlamingoEvalModel:
         self.compute_dtype = compute_dtype
         self.remat = remat
         self.max_len = max_len
+        # round the token pad length up to a multiple: batched ensemble
+        # stages tokenize per-GROUP, so a group-max pad length retraces the
+        # attack core per distinct length (multi-minute remote compiles);
+        # bucketing bounds the shape count. End-padding is loss-invariant
+        # (causal attention + masked labels), so this is exact — pinned by
+        # tests/test_vlm_eval.py::test_pad_to_multiple_loss_invariant.
+        self.pad_to_multiple = pad_to_multiple
         self._lang = None
         self._labels = None
         self._mask = None
@@ -339,7 +347,11 @@ class FlamingoEvalModel:
                     m[k] = 0.0
             langs.append(ids)
             masks.append(m)
-        t = min(max(len(x) for x in langs), self.max_len)
+        t = max(len(x) for x in langs)
+        if self.pad_to_multiple:
+            m_ = self.pad_to_multiple
+            t = -(-t // m_) * m_
+        t = min(t, self.max_len)
         lang_arr, _ = _pad_right(langs, self.tok.pad_token_id, t)
         mask_arr = np.zeros((len(langs), t), np.float32)
         for i, m in enumerate(masks):

@@ -873,6 +873,40 @@ class TestFlamingoEvalModel:
         n_real = int((lang != m.tok.pad_token_id).sum())
         assert 0 < mask.sum() < n_real
 
+    def test_pad_to_multiple_loss_invariant(self):
+        """Bucketed end-padding (batched-ensemble shape stabilization) must
+        not change per-sample losses: pads sit after every real token under
+        causal attention and their label positions are masked."""
+        m = self._model()
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(2, 3, 32, 32).astype(np.float32)
+        )
+        prompts = [
+            m.get_caption_prompt("red bird"),
+            m.get_caption_prompt("a very small blue bird"),
+        ]
+        m.set_inputs(prompts)
+        t_tight = m._lang.shape[1]
+        loss_tight = np.asarray(m(x))
+
+        m.pad_to_multiple = 16
+        m.set_inputs(prompts)
+        assert m._lang.shape[1] % 16 == 0
+        assert m._lang.shape[1] > t_tight  # actually exercises extra pads
+        loss_padded = np.asarray(m(x))
+        np.testing.assert_allclose(loss_padded, loss_tight, atol=1e-5)
+
+    def test_ensemble_sets_pad_to_multiple_when_batched(self):
+        from robustvlm_tpu.vlm_eval.ensemble import EnsembleRunner
+
+        for bs, expect in ((1, None), (3, 32)):
+            runner = EnsembleRunner(
+                lambda prec: self._model(),
+                eps=8 / 255, score_fn=lambda *a: 0.0,
+                prompt_fn=lambda *a: "", verbose=False, batch_size=bs,
+            )
+            assert runner._model("full").pad_to_multiple == expect
+
 
 class TestFrameMask:
     def test_context_masking(self):
