@@ -424,6 +424,10 @@ def vision_forward(
     # patch embed as matmul: (B,3,H,W) -> (B, g*g, 3*p*p) @ (3*p*p, W)
     x = x.reshape(b, 3, g, p, g, p).transpose(0, 2, 4, 1, 3, 5).reshape(b, g * g, 3 * p * p)
     x = x @ vp["patch_embed"].astype(compute_dtype)
+    if "patch_bias" in vp:
+        # fold_normalization trees: CLIP mean/std absorbed into patch_embed
+        # rows plus this bias — the forward then takes RAW [0,1] pixels
+        x = x + vp["patch_bias"].astype(compute_dtype)
 
     cls = jnp.broadcast_to(
         vp["class_embedding"].astype(compute_dtype), (b, 1, x.shape[-1])
@@ -459,6 +463,37 @@ def encode_image(
     **kw,
 ) -> jax.Array:
     return vision_forward(params, x, cfg, normalize=normalize, **kw)
+
+
+def fold_normalization(
+    visual: Params,
+    patch_size: int,
+    mean=None,
+    std=None,
+) -> Params:
+    """Absorb the CLIP per-channel normalize into the patch-embed matmul.
+
+    normalize is affine per channel, y_c = (x_c - m_c)/s_c, and the patch
+    embed is a bias-free matmul over rows ordered (channel, py, px) — so
+    W'row = Wrow/s_c(row) and bias b' = -(m/s) @ W make
+    `vision_forward(folded, raw_x)` ≡ `vision_forward(orig,
+    normalize_clip(raw_x))` exactly (one fewer (B,3,H,W) elementwise pass
+    per attack evaluation, and one fewer recompute of it under remat).
+    ViT towers only (the ConvNeXt stem is a strided conv; not folded)."""
+    from robustvlm_tpu.ops.image import OPENAI_MEAN, OPENAI_STD
+
+    if "patch_embed" not in visual:
+        raise ValueError("fold_normalization: ViT visual tree required")
+    mean = OPENAI_MEAN if mean is None else mean
+    std = OPENAI_STD if std is None else std
+    w = visual["patch_embed"]  # (3*p*p, W)
+    pp = patch_size * patch_size
+    m = jnp.repeat(jnp.asarray(mean, w.dtype), pp)
+    s = jnp.repeat(jnp.asarray(std, w.dtype), pp)
+    out = dict(visual)
+    out["patch_embed"] = w / s[:, None]
+    out["patch_bias"] = -(m / s) @ w
+    return out
 
 
 # ----------------------------------------------------------------- text

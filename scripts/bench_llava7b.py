@@ -68,6 +68,7 @@ A100_LLAVA7B_STEPS_PER_SEC = 1.4
 
 N_ITER = int(os.environ.get("BENCH_ITERS", 100))
 HOST_LOOP = bool(os.environ.get("BENCH_HOST_LOOP"))
+BATCH = int(os.environ.get("BENCH_BATCH", 1))
 
 # vicuna v1.5 prompt skeleton lengths (conversation.py): ~35 pre tokens
 # (system + "USER: <image>\n<question> ASSISTANT:") and a ~24-token
@@ -172,11 +173,11 @@ def main():
     print(f"params resident: {n_bytes / 2**30:.2f} GiB bf16", file=sys.stderr)
 
     npr = np.random.RandomState(0)
-    x = jnp.asarray(npr.rand(1, 3, 336, 336).astype(np.float32))
-    pre = jnp.asarray(npr.randint(3, 32000, (1, T_PRE)), jnp.int32)
-    post = jnp.asarray(npr.randint(3, 32000, (1, T_POST)), jnp.int32)
+    x = jnp.asarray(npr.rand(BATCH, 3, 336, 336).astype(np.float32))
+    pre = jnp.asarray(npr.randint(3, 32000, (BATCH, T_PRE)), jnp.int32)
+    post = jnp.asarray(npr.randint(3, 32000, (BATCH, T_POST)), jnp.int32)
     labels = post
-    mask = jnp.ones((1, T_POST), jnp.float32)
+    mask = jnp.ones((BATCH, T_POST), jnp.float32)
 
     # bound-model protocol: the 13 GiB param tree and the token tensors ride
     # as runtime operands of the compiled attack, never as HLO constants.
@@ -206,9 +207,33 @@ def main():
         )
 
     t0 = time.perf_counter()
-    res = attack()
-    float(jnp.sum(res.x_best))  # scalar readback = remote sync
+    try:
+        res = attack()
+        float(jnp.sum(res.x_best))  # scalar readback = remote sync
+    except Exception as e:  # HBM verdict must be a JSON line, not a trace
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
+            raise
+        print(
+            json.dumps(
+                {
+                    "metric": f"apgd_attack_steps_per_sec_llava7b_b{BATCH}",
+                    "value": None,
+                    "unit": "attack-steps/s/chip",
+                    "batch": BATCH,
+                    "host_loop": HOST_LOOP,
+                    "hbm_verdict": "OOM",
+                    "error": msg[:600],
+                }
+            )
+        )
+        return
     print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    try:  # HBM verdict: peak bytes if the runtime exposes them
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak_gib = round(ms.get("peak_bytes_in_use", 0) / 2**30, 2) or None
+    except Exception:
+        peak_gib = None
 
     best = None
     for _ in range(3):
@@ -219,15 +244,26 @@ def main():
         best = dt if best is None else min(best, dt)
 
     steps_per_sec = (N_ITER + 1) / best
+    example_steps = steps_per_sec * BATCH
+    # production protocol wall-clock: the untargeted ensemble is ~8 APGD
+    # stages x 100 iters over 500 images (reference vlm_eval
+    # run_evaluation.py:909-918 stage schedule); batched stages
+    # (vlm_eval/ensemble.py batch_size) make example-steps/s the divisor
+    prod_hours = 500 * 8 * 100 / example_steps / 3600
     print(
         json.dumps(
             {
-                "metric": "apgd_attack_steps_per_sec_llava7b_b1",
+                "metric": f"apgd_attack_steps_per_sec_llava7b_b{BATCH}",
                 "value": round(steps_per_sec, 3),
                 "unit": "attack-steps/s/chip",
-                "vs_baseline": round(steps_per_sec / A100_LLAVA7B_STEPS_PER_SEC, 3),
+                "vs_baseline": round(example_steps / A100_LLAVA7B_STEPS_PER_SEC, 3),
+                "batch": BATCH,
+                "example_steps_per_sec": round(example_steps, 3),
                 "n_iter": N_ITER,
                 "host_loop": HOST_LOOP,
+                "hbm_verdict": "fits",
+                "peak_hbm_gib": peak_gib,
+                "production_500img_8stage_100iter_hours": round(prod_hours, 2),
                 "a100_anchor_steps_per_sec": A100_LLAVA7B_STEPS_PER_SEC,
             }
         )

@@ -341,3 +341,75 @@ class TestMlpRatioAndLargeConfigs:
         re = import_visual_state_dict(sd, cfg)
         emb2 = np.asarray(encode_image({"visual": re}, x, cfg))
         np.testing.assert_allclose(emb2, emb, atol=1e-6)
+
+
+class TestFoldNormalization:
+    """fold_normalization absorbs normalize_clip into the patch embed:
+    value AND pixel-gradient parity (the attack differentiates wrt pixels)."""
+
+    def _setup(self):
+        from robustvlm_tpu.ops.image import normalize_clip
+
+        params = init_clip_params(jax.random.PRNGKey(3), CFG)
+        x = jnp.asarray(
+            np.random.RandomState(1).rand(2, 3, CFG.image_size, CFG.image_size)
+            .astype(np.float32)
+        )
+        return params, x, normalize_clip
+
+    def test_value_parity_fp32(self):
+        from robustvlm_tpu.models.clip.model import fold_normalization
+
+        params, x, normalize_clip = self._setup()
+        ref = encode_image(
+            params, normalize_clip(x), CFG, normalize=True,
+            compute_dtype=jnp.float32,
+        )
+        folded = {"visual": fold_normalization(params["visual"], CFG.patch_size)}
+        got = encode_image(folded, x, CFG, normalize=True, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    def test_grad_parity_wrt_pixels(self):
+        from robustvlm_tpu.models.clip.model import fold_normalization
+
+        params, x, normalize_clip = self._setup()
+        folded = {"visual": fold_normalization(params["visual"], CFG.patch_size)}
+        tgt = jax.random.normal(jax.random.PRNGKey(9), (CFG.embed_dim,))
+
+        def loss_ref(xa):
+            e = encode_image(
+                params, normalize_clip(xa), CFG, normalize=True,
+                compute_dtype=jnp.float32,
+            )
+            return jnp.sum(e @ tgt)
+
+        def loss_fold(xa):
+            e = encode_image(
+                folded, xa, CFG, normalize=True, compute_dtype=jnp.float32
+            )
+            return jnp.sum(e @ tgt)
+
+        g_ref = np.asarray(jax.grad(loss_ref)(x))
+        g_fold = np.asarray(jax.grad(loss_fold)(x))
+        np.testing.assert_allclose(
+            g_fold, g_ref, atol=2e-5,
+            err_msg="pixel gradients must match through the folded tower",
+        )
+
+    def test_bf16_compute_close(self):
+        from robustvlm_tpu.models.clip.model import fold_normalization
+
+        params, x, normalize_clip = self._setup()
+        ref = encode_image(
+            params, normalize_clip(x), CFG, normalize=True,
+            compute_dtype=jnp.bfloat16,
+        )
+        folded = {"visual": fold_normalization(params["visual"], CFG.patch_size)}
+        got = encode_image(folded, x, CFG, normalize=True, compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+
+    def test_requires_vit_tree(self):
+        from robustvlm_tpu.models.clip.model import fold_normalization
+
+        with pytest.raises(ValueError):
+            fold_normalization({"stem": {}}, 14)
