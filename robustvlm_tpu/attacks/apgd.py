@@ -489,16 +489,28 @@ def apgd_attack(
     )
     cached = _CORE_CACHE.get(cache_key)
     if cached is None:
+        # Donate the attack-state operand on TPU: the scan core consumes
+        # x_adv (always a fresh buffer — the eager clip above copies), and
+        # each host-loop step consumes the previous carry, so XLA may
+        # update the ~7 image-sized state buffers in place instead of
+        # allocating a fresh set per step. CPU ignores donation with a
+        # warning, so gate on backend; trajectories are identical either
+        # way (donation is pure buffer aliasing).
+        donate = jax.default_backend() == "tpu"
         if host_loop:
+            step_donate = dict(donate_argnums=(0,)) if donate else {}
             cached = (
                 jax.jit(eval_point),
-                jax.jit(lambda c, s, inv_: body(c, s, inv_)[0]),
                 jax.jit(
-                    lambda c, s, inv_: body(c, s, inv_, fwd_only=True)[0]
+                    lambda c, s, inv_: body(c, s, inv_)[0], **step_donate
+                ),
+                jax.jit(
+                    lambda c, s, inv_: body(c, s, inv_, fwd_only=True)[0],
+                    **step_donate,
                 ) if skip_last_grad else None,
             )
         else:
-            cached = jax.jit(core)
+            cached = jax.jit(core, donate_argnums=(0,) if donate else ())
         if len(_CORE_CACHE) >= _CORE_CACHE_MAX:
             _CORE_CACHE.pop(next(iter(_CORE_CACHE)))
         _CORE_CACHE[cache_key] = cached
@@ -520,6 +532,14 @@ def apgd_attack(
         eval_j, step_j, final_j = cached
         loss0, grad0, correct0 = eval_j(x_adv, inv)
         carry = init_carry(x_adv, loss0, grad0, correct0, inv)
+        if jax.default_backend() == "tpu" and not isinstance(
+            x, jax.core.Tracer
+        ):
+            # step_j donates its carry argument: the initial carry may
+            # alias x_adv/grad0 (and one buffer may appear in several
+            # leaves — x_adv == x_best at init), so give step 0 exclusively
+            # owned buffers. One-time copy, ~7 image-sized arrays.
+            carry = jax.tree.map(jnp.copy, carry)
         n_full = n_iter - 1 if final_j is not None else n_iter
         for it in range(n_full):
             carry = step_j(carry, jax.tree.map(lambda a: a[it], xs), inv)
