@@ -66,10 +66,6 @@ import numpy as np
 # the reference's published number for this exact workload
 A100_LLAVA7B_STEPS_PER_SEC = 1.4
 
-N_ITER = int(os.environ.get("BENCH_ITERS", 100))
-HOST_LOOP = bool(os.environ.get("BENCH_HOST_LOOP"))
-BATCH = int(os.environ.get("BENCH_BATCH", 1))
-
 # vicuna v1.5 prompt skeleton lengths (conversation.py): ~35 pre tokens
 # (system + "USER: <image>\n<question> ASSISTANT:") and a ~24-token
 # teacher-forced target caption
@@ -161,9 +157,18 @@ def _make_unstacked_loss(cfg):
     return loss_fn
 
 
-def main():
+def main(batch=None, n_iter=None, host_loop=None):
+    """Run the bench; knobs default from env (BENCH_BATCH / BENCH_ITERS /
+    BENCH_HOST_LOOP) so the CLI behaves as before, but bench.py's full-story
+    run passes them explicitly (its own BENCH_* envs steer the attack stage)."""
     from robustvlm_tpu.attacks.apgd import apgd_attack
     from robustvlm_tpu.models.llava.model import LLAVA_CONFIGS
+
+    BATCH = int(os.environ.get("BENCH_BATCH", 1)) if batch is None else batch
+    N_ITER = int(os.environ.get("BENCH_ITERS", 100)) if n_iter is None else n_iter
+    HOST_LOOP = (
+        bool(os.environ.get("BENCH_HOST_LOOP")) if host_loop is None else host_loop
+    )
 
     cfg = LLAVA_CONFIGS["llava-1.5-7b"]
     params = _init_bf16_on_device(cfg)
