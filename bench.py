@@ -419,10 +419,27 @@ def main_llava():
     )
 
 
+def _release_device_memory():
+    """Free everything a finished stage left on the chip. A returned stage's
+    arrays stay alive through the attack engine's module-level compiled-core
+    cache and jax's internal jit caches (measured: the LLaVA stage's 13.16
+    GiB params remained resident and OOMed the next stage's first
+    allocation); clearing both + a gc pass drops jax.live_arrays() to zero
+    (tests/test_bench_watchdog.py::test_stage_releases_device_memory)."""
+    import gc
+
+    from robustvlm_tpu.attacks import apgd
+
+    apgd._CORE_CACHE.clear()
+    jax.clear_caches()
+    gc.collect()
+
+
 def _stage(name, fn):
     """Run one bench stage; any failure becomes an honest JSON line for that
     metric and the remaining stages still run (the headline attack metric
-    prints LAST, which is the line the driver parses)."""
+    prints LAST, which is the line the driver parses). Device memory is
+    released between stages — the 7B stage fills nearly all of HBM."""
     try:
         fn()
     except Exception as e:  # noqa: BLE001 — a stage must never sink the run
@@ -433,6 +450,8 @@ def _stage(name, fn):
             ),
             flush=True,
         )
+    finally:
+        _release_device_memory()
 
 
 if __name__ == "__main__":

@@ -93,3 +93,48 @@ print(json.dumps({"metric": "m", "value": 123.0}), flush=True)
 
         monkeypatch.setattr(bench, "_REPO", str(tmp_path))
         assert bench._latest_bench_value() is None
+
+
+class TestStageMemoryRelease:
+    def test_stage_releases_device_memory(self):
+        """A returned stage's arrays must not stay resident: the attack
+        engine's module-level compiled-core cache and jax's jit caches
+        retain the stage's operands (measured on the TPU: the LLaVA stage's
+        13.16 GiB params survived the stage and OOMed the next stage's
+        first allocation). _stage must drop live arrays to zero."""
+        import gc
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        import bench
+        from robustvlm_tpu.attacks.apgd import apgd_attack
+        from robustvlm_tpu.ops import ce_loss
+
+        def tiny_attack_stage():
+            rng = np.random.RandomState(0)
+            w = jnp.asarray(rng.randn(48, 4).astype(np.float32)) * 0.05
+            x = jnp.asarray(rng.rand(2, 3, 4, 4).astype(np.float32))
+            y = jnp.asarray(rng.randint(0, 4, 2))
+
+            def model_fn(xa):
+                return xa.reshape(xa.shape[0], -1) @ w
+
+            model_fn.pure = lambda wa, xa: xa.reshape(xa.shape[0], -1) @ wa
+            model_fn.bound_args = (w,)
+            res = apgd_attack(
+                model_fn, x, y,
+                criterion=lambda o, t: ce_loss(o, t, reduction="none"),
+                eps=4 / 255.0, n_iter=2, norm="linf",
+            )
+            assert res.x_best.shape == x.shape
+
+        bench._stage("tiny", tiny_attack_stage)
+        gc.collect()
+        leaked = [a for a in jax.live_arrays() if not a.is_deleted()]
+        total = sum(a.size * a.dtype.itemsize for a in leaked)
+        assert total == 0, (
+            f"{len(leaked)} arrays / {total} bytes still live after _stage: "
+            f"{[(a.shape, str(a.dtype)) for a in leaked][:10]}"
+        )
