@@ -179,11 +179,15 @@ A100_ANCHOR_STEPS_PER_SEC = 80.0
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 # 100 iterations = the production eval protocol (BASELINE.md: AutoAttack
 # APGD-CE/APGD-T at 100 iters) and amortizes the attack's fixed setup
-# (init eval, first-step bookkeeping): measured 312 steps/s at 100 iters
-# vs 298 at 20 on the same code. Round 3: the final-iteration fwd-only
-# epilogue (skip_last_grad, attacks/apgd.py) reads 309.4 at 100 iters and
-# 279.8 at 20 vs 268.6-274.8 without it (A/B, same session) — the saved
-# backward is ~1/(3.2*(n_iter+1)) of the attack.
+# (init eval, first-step bookkeeping; 20-iter runs read ~5-10% lower).
+# Round-4 same-session A/B at 100 iters settles the epilogue question:
+# fwd-only final iteration (skip_last_grad, attacks/apgd.py) 310.83 vs
+# 308.57 without — a real ~0.7% win, default ON; earlier 309.4-vs-312
+# readings were run-to-run jitter around ~310. Round-4 full-story run:
+# 311.59 (driver headline). BENCH_FOLD_NORM=1 (normalize folded into the
+# patch embed): 309.47 — NO measurable effect; XLA already fuses the
+# (B,3,224,224) normalize into neighbors, so the lever stays off-default
+# (kept for attribution, exact math, parity-tested).
 N_ITER = int(os.environ.get("BENCH_ITERS", 100))
 
 

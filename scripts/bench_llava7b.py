@@ -22,12 +22,22 @@ init would materialize 26 GiB fp32 on the tunnel.
 Protocol knobs: BENCH_ITERS (default 100 — steps/s is iteration-count
 invariant well before that; the 10k production run uses the same compiled
 step via host_loop), BENCH_HOST_LOOP=1 to measure the dispatch-bound host
-loop path instead of the scan.
+loop path instead of the scan, BENCH_BATCH for the batch sweep.
 
 Usage: python scripts/bench_llava7b.py   (needs the TPU; prints one JSON line)
 
-Measured (v5e, round 3): with BENCH_HOST_LOOP=1, 5.06 attack-steps/s at
-batch 1 = 3.61x the published A100 figure, 297.7 s compile+first-run.
+Measured batch curve (v5e, round 4, host_loop, 100 iters, same session):
+  batch 1: 5.187 steps/s = 5.187 example-steps/s  (3.71x A100)   fits
+  batch 2: 2.601 steps/s = 5.202 example-steps/s  (3.72x A100)   fits
+  batch 4: 1.231 steps/s = 4.923 example-steps/s  (3.52x A100)   fits
+Unlike the bare-ViT bench (whose per-example throughput peaks at batch 8),
+the 7B step saturates the chip at batch 1 — the LM's 577+59-token matmuls
+are already MXU-shaped — so batching buys no throughput (and loses ~5% at
+4). The production 500-image x ~8-stage x 100-iter ensemble is therefore
+~21.4 h per chip regardless of stage batching; the scaling lever is
+data-parallel chips (vlm_eval/ensemble.py shards by example), not batch.
+Round-3 note for comparison: 5.06 steps/s at batch 1 — the round-4 reading
+includes the apgd state-donation change (attack state updates in place).
 HBM journey, all measured: the scan-over-blocks LM relayout-copies the four
 stacked (32,4096,4096) attention weights (+4.1 GiB temp -> compile OOM
 17.3/15.75 GiB); Python-unrolling the stacked scan makes it WORSE

@@ -54,6 +54,13 @@ CONFIGS = {
     "b8_unroll2": (8, dict(remat="dots", unroll=2)),
     "b8_unroll4": (8, dict(remat="dots", unroll=4)),
     "b8_unroll24": (8, dict(remat="dots", unroll=24)),
+    # fold normalize_clip's per-channel affine into the patch-embed matmul
+    # (models/clip/model.py fold_normalization, exact math): removes one
+    # (B,3,224,224) elementwise pass per eval AND its recompute under remat
+    # — a candidate for the last ~2.3 ms/step vs the composable ceiling
+    "b8_foldnorm": (8, dict(remat="dots", _fold_norm=True)),
+    "b8_foldnorm_fwdonly": (8, dict(remat="dots", _fold_norm=True,
+                                    _fwd_only=True)),
     # dense einsum attention is the DEFAULT (CLS_SPLIT_ATTENTION=False);
     # _cls_split forces the tile-aligned [cls; patches] path for A/B
     "b8_split": (8, dict(remat="dots", _cls_split=True)),
@@ -104,6 +111,7 @@ def run_one(name, batch, mkw):
     fwd_only = mkw.pop("_fwd_only", False)
     ablate = mkw.pop("_ablate", None)
     cls_split = mkw.pop("_cls_split", None)
+    fold_norm = mkw.pop("_fold_norm", False)
     import robustvlm_tpu.models.clip.model as M
 
     orig_attention = M._attention
@@ -137,6 +145,11 @@ def run_one(name, batch, mkw):
         lambda a: a.astype(jnp.bfloat16),
         init_clip_params(jax.random.PRNGKey(0), cfg),
     )
+    if fold_norm:
+        from robustvlm_tpu.models.clip.model import fold_normalization
+
+        params = dict(params)
+        params["visual"] = fold_normalization(params["visual"], cfg.patch_size)
     temb = jax.random.normal(jax.random.PRNGKey(1), (cfg.embed_dim, 1000))
     temb = temb / jnp.linalg.norm(temb, axis=0, keepdims=True)
     npr = np.random.RandomState(0)
@@ -145,7 +158,7 @@ def run_one(name, batch, mkw):
 
     def loss(p, t, xa, yy):
         e = encode_image(
-            p, normalize_clip(xa), cfg, normalize=True,
+            p, xa if fold_norm else normalize_clip(xa), cfg, normalize=True,
             compute_dtype=jnp.bfloat16, **mkw,
         )
         return jnp.sum(ce_loss(e @ (100.0 * t), yy, reduction="none"))
