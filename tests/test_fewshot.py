@@ -225,6 +225,7 @@ class TestKarpathySplits:
         assert train[0]["image"].shape == (3, 16, 16)
 
 
+@pytest.mark.heavy
 class TestFewShotE2E:
     """The judge's done-criteria: (a) shots=2 prompts carry the demos and
     stacked frames, (b) masked context frames receive ZERO perturbation,
@@ -482,6 +483,7 @@ class TestTrialMeans:
         assert not (tmp_path / "out" / "coco").exists()
 
 
+@pytest.mark.heavy
 class TestFewShotVQAE2E:
     def test_vqa_shots2_demo_answers_in_prompt(self, tmp_path, monkeypatch):
         from PIL import Image

@@ -494,6 +494,7 @@ class _SynthDS4:
         }
 
 
+@pytest.mark.heavy
 class TestEnsembleBatched:
     """batch_size>1 on the untargeted stages must reproduce the serial
     per-image results exactly: attack state is vectorized per example and
@@ -565,6 +566,7 @@ class TestEnsembleBatched:
         assert calls.count((1, True)) == 4, "targeted stage serial per item"
 
 
+@pytest.mark.heavy
 class TestEnsembleResume:
     """Crash-resume: the per-stage state checkpoint (ensemble_state.json +
     adv tensors) must reproduce an uninterrupted run exactly. The reference
