@@ -36,6 +36,16 @@ are already MXU-shaped — so batching buys no throughput (and loses ~5% at
 4). The production 500-image x ~8-stage x 100-iter ensemble is therefore
 ~21.4 h per chip regardless of stage batching; the scaling lever is
 data-parallel chips (vlm_eval/ensemble.py shards by example), not batch.
+
+Roofline close-out (v5e, round 4, measured): the step executes 24.64
+analytic matmul TFLOP (attack_step_matmul_flops — an XLA-cost-analysis-
+validated counter that models grad-wrt-pixels-only backwards, checkpoint-
+replay dead-code elimination, and the lm_head row slice), so 5.188 steps/s
+= 127.8 TF/s sustained = 91.1% of the chip's best measured matmul rate
+(140.4, the ViT-shape calibration) and 95% of a serially-dependent up/down
+chain at the LM mlp's own shape (134.5, measured in-session). The step is
+MATMUL-BOUND on this chip; neither batching (curve above) nor kernel work
+can raise it materially — the JSON's `roofline` block carries the numbers.
 Round-3 note for comparison: 5.06 steps/s at batch 1 — the round-4 reading
 includes the apgd state-donation change (attack state updates in place).
 HBM journey, all measured: the scan-over-blocks LM relayout-copies the four
@@ -124,11 +134,13 @@ def _crit_targeted(o, y):
     return -o
 
 
-def _make_unstacked_loss(cfg):
+def _make_unstacked_loss(cfg, remat=True):
     """llava_per_sample_loss re-composed from the public pieces with an
     unstacked per-layer LM loop (math-identical; see
     tests/test_llama.py::test_unrolled_blocks_match_scan for the stacked
-    unrolled variant and models/llava/model.py:162 for the loss tail)."""
+    unrolled variant and models/llava/model.py:162 for the loss tail).
+    remat=False (tests only) skips both towers' per-block checkpointing so
+    XLA's cost analysis has no recompute/CSE ambiguity."""
     from robustvlm_tpu.models.llama.model import _block, rms_norm, rope_freqs
     from robustvlm_tpu.models.llava.model import (
         encode_images, splice_embeddings,
@@ -138,16 +150,16 @@ def _make_unstacked_loss(cfg):
 
     def loss_fn(p, pre, post, labels, mask, xa):
         img = encode_images(
-            p, xa, cfg, compute_dtype=jnp.bfloat16, remat=True
+            p, xa, cfg, compute_dtype=jnp.bfloat16, remat=remat
         )
         embeds = splice_embeddings(p, img, pre, post, cfg)
         x = embeds.astype(jnp.bfloat16)
         t = x.shape[1]
         cos, sin = rope_freqs(lcfg, jnp.arange(t))
 
-        blk = jax.checkpoint(
-            lambda h, bp: _block(h, bp, lcfg, cos, sin, flash=False)[0]
-        )
+        blk = lambda h, bp: _block(h, bp, lcfg, cos, sin, flash=False)[0]
+        if remat:
+            blk = jax.checkpoint(blk)
         for bp in p["layers"]:
             x = blk(x, bp)
         h = rms_norm(x, p["llama"]["norm"], lcfg.norm_eps)
@@ -165,6 +177,99 @@ def _make_unstacked_loss(cfg):
         )
 
     return loss_fn
+
+
+def attack_step_matmul_flops(cfg, batch, t_pre, t_post, remat=True):
+    """Analytic matmul FLOPs of ONE APGD attack step — one forward + one
+    gradient wrt PIXELS of the LLaVA teacher-forced CE loss — counting a
+    dot as 2*M*N*K, at DEFAULT matmul precision (single-pass bf16, the
+    bench config). Per-site multipliers, matching what XLA actually emits
+    (each validated against compiled cost_analysis at a mid-size config,
+    tests/test_llava7b_flops.py):
+
+      - weights are NOT differentiated (grad wrt pixels only), so a param
+        matmul's backward is dx = dy @ W^T alone: 1x its forward — and it
+        consumes NOTHING from the forward, only dy and W
+      - the attention matmuls (q@k^T, probs@v) differentiate BOTH operands:
+        backward = 2x forward
+      - jax.checkpoint(full) per block (both towers — the bench config)
+        replays the block interior during the backward, BUT XLA dead-codes
+        replayed matmuls whose outputs no backward op consumes: probs@v
+        (its output feeds only the out-proj, whose dx needs neither input)
+        and the final mlp matmul (down-proj / c_proj, output = block
+        output). So the replay adds +1x to scores and to the param matmuls
+        whose OUTPUTS the backward needs (q/k/v values for attention bwd,
+        pre-activations for gelu/silu bwd, residual-stream inputs for
+        norm bwd) and +0x to probs@v and down-proj/c_proj
+      - the loss reads only the last t_post logit rows, and XLA pushes the
+        slice into the lm_head matmul (forward) and exploits the matching
+        zero rows of dlogits (backward): 2x a t_post-row matmul, not t
+      - outside any block (patch embed, projector, lm_head): never
+        rematerialized, forward + dx only
+
+    Excluded: elementwise ops (LN/RMSNorm/rope/gelu/softmax), embedding
+    gathers, and the attack's ~10 image-sized bookkeeping ops (<0.01% at
+    7B scale) — so the count sits a few percent UNDER the true total."""
+    in_mult = 3 if remat else 2   # interior param matmuls w/ needed outputs
+    dn_mult = 2                   # down-proj / c_proj: replay always dead
+    sc_mult = 4 if remat else 3   # q@k^T
+    pv_mult = 3                   # probs@v: replay always dead
+
+    v = cfg.vision.vision  # vision TransformerConfig
+    n_tok = cfg.vision.n_vision_tokens  # incl CLS
+    n_img = cfg.n_image_tokens  # CLS dropped before the projector
+    l_eff = v.layers - (1 if cfg.drop_last_vision_block else 0)
+    w, h = v.width, int(v.width * v.mlp_ratio)
+    p = cfg.vision.patch_size
+    vis = 2 * (2 * n_img * (3 * p * p) * w)  # patch embed, fwd + dx
+    vis += in_mult * 2 * n_tok * (4 * w * w + w * h) * l_eff  # qkv,out,fc
+    vis += dn_mult * 2 * n_tok * (w * h) * l_eff  # c_proj
+    vis += (sc_mult + pv_mult) * (2 * n_tok * n_tok * w) * l_eff
+
+    d = cfg.lm_dim
+    if cfg.projector_type == "linear":
+        proj = 2 * (2 * n_img * w * d)
+    else:  # mlp2x_gelu
+        proj = 2 * (2 * n_img * w * d + 2 * n_img * d * d)
+
+    lc = cfg.llama
+    t = n_img + t_pre + t_post
+    kv_dim = lc.n_kv_heads * lc.head_dim  # == d unless GQA
+    lm = in_mult * 2 * t * (2 * d * d + 2 * d * kv_dim + 2 * d * lc.ffn_dim) * lc.n_layers
+    lm += dn_mult * 2 * t * (d * lc.ffn_dim) * lc.n_layers  # down-proj
+    lm += (sc_mult + pv_mult) * (2 * t * t * d) * lc.n_layers
+    lm += 2 * (2 * t_post * d * lc.vocab_size)  # lm_head, sliced rows
+
+    return float(batch) * (vis + proj + lm)
+
+
+def _measure_serial_matmul_chain(m, k, n, iters=100):
+    """Sustained bf16 TFLOP/s of a serially-dependent up/down matmul pair
+    at the caller's shapes — the LM mlp's own (m,k)x(k,n) then (m,n)x(n,k),
+    chained (scan-carry dependency, scripts/perf_sweep.py harness style).
+
+    This is a LOWER bound on the matmul ceiling, not the ceiling: a single
+    dependent chain cannot overlap independent matmuls across the v5e
+    TensorCore's 4 MXUs the way a real model step does — measured, the 7B
+    attack step itself sustains MORE analytic matmul TF/s than this chain."""
+    a = jnp.full((m, k), 1.0 / k, jnp.bfloat16)
+    w1 = jnp.full((k, n), 1.0 / n, jnp.bfloat16)
+    w2 = jnp.full((n, k), 1.0, jnp.bfloat16)
+
+    @jax.jit
+    def f(a, w1, w2):
+        def one(c, _):
+            return (c @ w1) @ w2, None
+        out, _ = jax.lax.scan(one, a, None, length=iters)
+        return out
+
+    r = f(a, w1, w2)
+    float(jnp.sum(r.astype(jnp.float32)))  # scalar readback = remote sync
+    t0 = time.perf_counter()
+    r = f(a, w1, w2)
+    float(jnp.sum(r.astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+    return iters * 2 * (2 * m * k * n) / dt / 1e12
 
 
 def main(batch=None, n_iter=None, host_loop=None):
@@ -265,6 +370,36 @@ def main(batch=None, n_iter=None, host_loop=None):
     # run_evaluation.py:909-918 stage schedule); batched stages
     # (vlm_eval/ensemble.py batch_size) make example-steps/s the divisor
     prod_hours = 500 * 8 * 100 / example_steps / 3600
+
+    # Roofline: analytic matmul FLOPs of the step (XLA-validated counter,
+    # tests/test_llava7b_flops.py) / measured wall, against three anchors:
+    # the v5e bf16 peak (197), the chip's best measured sustained matmul
+    # rate (the ViT-shape calibration, perf_sweep.py: 140.4), and an
+    # in-session serially-dependent chain at the LM mlp's own shape (a
+    # LOWER bound — no cross-matmul MXU overlap). One small extra compile;
+    # never fatal.
+    flops_step = attack_step_matmul_flops(cfg, BATCH, T_PRE, T_POST)
+    achieved_tf_s = flops_step * steps_per_sec / 1e12
+    t_seq = cfg.n_image_tokens + T_PRE + T_POST
+    try:
+        chain_tf_s = _measure_serial_matmul_chain(
+            BATCH * t_seq, cfg.lm_dim, cfg.llama.ffn_dim
+        )
+    except Exception as e:  # noqa: BLE001 — roofline is diagnostics
+        print(f"serial-chain measurement failed: {e!s:.200}", file=sys.stderr)
+        chain_tf_s = None
+    roofline = {
+        "analytic_matmul_tflop_per_step": round(flops_step / 1e12, 2),
+        "achieved_matmul_tf_s": round(achieved_tf_s, 1),
+        "bf16_peak_tf_s": 197.0,
+        "pct_of_bf16_peak": round(100.0 * achieved_tf_s / 197.0, 1),
+        "vit_calibrated_sol_tf_s": 140.4,
+        "pct_of_vit_calibrated_sol": round(
+            100.0 * achieved_tf_s / 140.4, 1
+        ),
+    }
+    if chain_tf_s is not None:
+        roofline["serial_chain_at_lm_mlp_shape_tf_s"] = round(chain_tf_s, 1)
     print(
         json.dumps(
             {
@@ -280,6 +415,7 @@ def main(batch=None, n_iter=None, host_loop=None):
                 "peak_hbm_gib": peak_gib,
                 "production_500img_8stage_100iter_hours": round(prod_hours, 2),
                 "a100_anchor_steps_per_sec": A100_LLAVA7B_STEPS_PER_SEC,
+                "roofline": roofline,
             }
         )
     )
