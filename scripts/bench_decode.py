@@ -1,0 +1,309 @@
+"""Serve-stack decode benchmark: LLaVA-1.5-7B greedy tokens/s on one chip.
+
+The serving stack (robustvlm_tpu/serve/*, reference llava/serve/model_worker
+.py:126-226) ultimately bottlenecks on autoregressive decode; this script
+measures the REAL owned generation path — `models/generation.greedy_generate`
+(the jitted lax.scan single-token loop with a static KV cache) — through a
+full-size LLaVA-1.5-7B (bf16 random weights; decode speed is
+weight-agnostic), prompt = 35 system tokens + 576 image tokens + 12 question
+tokens, 128 new tokens.
+
+TPU-first design notes (same discipline as scripts/bench_llava7b.py):
+  - the 13.16 GiB param tree rides as a jit ARGUMENT (bound-model protocol;
+    a closure would bake it into the HLO as constants),
+  - the LM loop is UNSTACKED per-layer (the stacked (32,4096,4096) scan
+    relayout-copies +4.1 GiB and OOMs — measured, bench_llava7b.py HBM
+    journey), composed from the same public `_block` pieces,
+  - the whole decode is ONE compiled program: prefill + lax.scan over the
+    128 single-token steps (the serving stream path pays ~14 ms/step of
+    tunnel dispatch instead; greedy_generate amortizes it).
+
+Decode at batch 1 is HBM-BANDWIDTH-bound: every step re-reads the ~13.2 GB
+LM weights to produce 13.2 GFLOP of matmul (arithmetic intensity ~1
+FLOP/byte vs the chip's ~170 FLOP/byte balance point), so the roofline is
+bytes/step / measured-copy-bandwidth, and AGGREGATE tokens/s scales almost
+linearly with batch until the KV cache's HBM share bites — the measured
+curve below is the quantitative case for the serving micro-batcher
+(serve/model_worker.py window coalescing).
+
+Measured numbers: filled in below by the sweep itself once run on the
+chip (the docstring is updated from the captured JSON; until then the
+JSON lines are the record).
+
+Usage: python scripts/bench_decode.py          (needs the TPU)
+       BENCH_DECODE_BATCHES=1,2,4 BENCH_DECODE_NEW=128 to steer.
+Prints one JSON line per batch point; the last line carries the sweep
+summary. CPU parity of the unstacked fns vs the stacked production path:
+tests/test_bench_decode.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+# vicuna v1.5 serving prompt skeleton (conversation templates): ~35 system
+# tokens before <image>, a short question after it
+T_PRE = 35
+T_QUESTION = 12
+
+
+def make_unstacked_decode_fns(
+    params, cfg, pixels01, pre_tokens, *, max_total_len,
+    compute_dtype=jnp.bfloat16,
+):
+    """(prefill_fn, decode_fn) for models/generation.py with an UNSTACKED
+    per-layer LM loop (params['layers'] = tuple of per-layer trees, the
+    7B-fits-on-one-chip layout from bench_llava7b._init_bf16_on_device).
+
+    Math-identical to models/llava/model.make_llava_decode_fns (the stacked
+    production path) — pinned by tests/test_bench_decode.py."""
+    from robustvlm_tpu.models.llama.model import _block, rms_norm, rope_freqs
+    from robustvlm_tpu.models.llava.model import encode_images, splice_embeddings
+
+    lcfg = cfg.llama
+    img = encode_images(params, pixels01, cfg, compute_dtype=compute_dtype)
+    t_prefix = pre_tokens.shape[1] + cfg.n_image_tokens
+    cache_len = t_prefix + max_total_len
+
+    def lm(x, positions, caches, cache_pos, kv_mask):
+        x = x.astype(compute_dtype)
+        cos, sin = rope_freqs(lcfg, positions)
+        new_caches = []
+        for bp, c in zip(params["layers"], caches):
+            x, nc = _block(
+                x, bp, lcfg, cos, sin, flash=False,
+                cache=c, pos=cache_pos, kv_mask=kv_mask,
+            )
+            new_caches.append(nc)
+        h = rms_norm(x, params["llama"]["norm"], lcfg.norm_eps)
+        logits = h @ params["llama"]["lm_head"].astype(compute_dtype)
+        return logits.astype(jnp.float32), tuple(new_caches)
+
+    def init_caches(b):
+        shape = (b, lcfg.n_kv_heads, cache_len, lcfg.head_dim)
+        return tuple(
+            {"k": jnp.zeros(shape, compute_dtype),
+             "v": jnp.zeros(shape, compute_dtype)}
+            for _ in range(lcfg.n_layers)
+        )
+
+    def prefill_fn(tokens, kv_valid, positions):
+        b = tokens.shape[0]
+        embeds = splice_embeddings(params, img, pre_tokens, tokens, cfg)
+        kv_mask_full = jnp.concatenate(
+            [jnp.ones((b, t_prefix), bool), kv_valid,
+             jnp.zeros((b, cache_len - t_prefix - kv_valid.shape[1]), bool)],
+            axis=1,
+        )
+        pos_full = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(t_prefix)[None], (b, t_prefix)),
+             t_prefix + positions], axis=1,
+        )
+        logits, caches = lm(embeds, pos_full, init_caches(b), 0, kv_mask_full)
+        return logits[:, -1], caches
+
+    def decode_fn(tok, caches, pos, kv_mask, qpos):
+        b = tok.shape[0]
+        emb = params["llama"]["tok_embedding"][tok]
+        kv_mask_full = jnp.concatenate(
+            [jnp.ones((b, t_prefix), bool), kv_mask], axis=1
+        )
+        logits, caches = lm(
+            emb, t_prefix + qpos, caches, t_prefix + pos, kv_mask_full
+        )
+        return logits, caches
+
+    return prefill_fn, decode_fn
+
+
+def _measure_copy_bandwidth_gb_s(gib: float = 2.0, iters: int = 20):
+    """In-session HBM copy-bandwidth anchor for the decode roofline:
+    y = x + 1 over a `gib`-sized bf16 array moves 2x its bytes (read+write)
+    per iteration; a serially-dependent chain keeps every iteration
+    resident. Mirrors bench_llava7b._measure_serial_matmul_chain."""
+    n = int(gib * 2**30 / 2)
+    x = jnp.zeros((n,), jnp.bfloat16)
+
+    @jax.jit
+    def f(a):
+        def one(c, _):
+            return c + jnp.bfloat16(1), None
+        out, _ = jax.lax.scan(one, a, None, length=iters)
+        return out
+
+    float(jnp.sum(f(x)[:1]))  # compile + warm
+    t0 = time.perf_counter()
+    float(jnp.sum(f(x)[:1]))
+    dt = time.perf_counter() - t0
+    return 2 * (n * 2) * iters / dt / 1e9
+
+
+def _decode_step_bytes(cfg, t_avg: int) -> float:
+    """HBM bytes one decode step must move at bf16: the full LM weight set
+    (re-read every token) + the KV cache read at average occupancy t_avg +
+    the cache write. Batch-invariant for the weight term."""
+    lcfg = cfg.llama
+    per_layer = (
+        4 * lcfg.dim * lcfg.dim          # wq wk wv wo
+        + 3 * lcfg.dim * lcfg.ffn_dim    # gate up down
+    )
+    weights = lcfg.n_layers * per_layer + lcfg.dim * lcfg.vocab_size
+    kv = lcfg.n_layers * 2 * lcfg.n_kv_heads * lcfg.head_dim * t_avg
+    return 2.0 * (weights + kv)  # bf16
+
+
+def run_one(params, cfg, batch: int, max_new: int):
+    """One batch point: compile, OOM-verdict, best-of-3 timing, JSON line."""
+    from robustvlm_tpu.models.generation import greedy_generate
+
+    npr = np.random.RandomState(0)
+    pixels = jnp.asarray(npr.rand(batch, 3, 336, 336).astype(np.float32))
+    pre = jnp.asarray(npr.randint(3, 32000, (batch, T_PRE)), jnp.int32)
+    question = jnp.asarray(
+        npr.randint(3, 32000, (batch, T_QUESTION)), jnp.int32
+    )
+    n_pad = jnp.zeros((batch,), jnp.int32)
+
+    def gen(p, px, pr, q):
+        prefill_fn, decode_fn = make_unstacked_decode_fns(
+            p, cfg, px, pr, max_total_len=T_QUESTION + max_new
+        )
+        # eos_id=-1 is unreachable (argmax >= 0): every row decodes the full
+        # max_new tokens — honest fixed-length timing on random weights
+        return greedy_generate(
+            prefill_fn, decode_fn, q, n_pad,
+            max_new_tokens=max_new, eos_id=-1,
+        ).tokens
+
+    def prefill_only(p, px, pr, q):
+        prefill_fn, _ = make_unstacked_decode_fns(
+            p, cfg, px, pr, max_total_len=T_QUESTION + max_new
+        )
+        kv_valid = jnp.ones((batch, T_QUESTION), bool)
+        positions = jnp.broadcast_to(
+            jnp.arange(T_QUESTION)[None], (batch, T_QUESTION)
+        )
+        logits, _ = prefill_fn(q, kv_valid, positions)
+        return logits
+
+    gen_j = jax.jit(gen)
+    prefill_j = jax.jit(prefill_only)
+
+    t0 = time.perf_counter()
+    try:
+        toks = gen_j(params, pixels, pre, question)
+        int(np.asarray(toks[0, 0]))  # scalar readback = remote sync
+    except Exception as e:  # HBM verdict must be a JSON line, not a trace
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
+            raise
+        out = {"batch": batch, "hbm_verdict": "OOM", "error": msg[:400]}
+        print(json.dumps({"metric": "llava7b_greedy_decode", **out}))
+        return out
+    print(
+        f"b{batch} compile+first run: {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+    def timed(f):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = f(params, pixels, pre, question)
+            float(jnp.sum(r[:1].astype(jnp.float32)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t_full = timed(gen_j)
+    int(np.asarray(prefill_j(params, pixels, pre, question)[0, 0] != 0))
+    t_prefill = timed(prefill_j)
+
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        peak_gib = round(ms.get("peak_bytes_in_use", 0) / 2**30, 2) or None
+    except Exception:
+        peak_gib = None
+
+    tok_s = batch * max_new / t_full
+    tok_s_decode = batch * max_new / max(t_full - t_prefill, 1e-9)
+    out = {
+        "batch": batch,
+        "hbm_verdict": "fits",
+        "peak_hbm_gib": peak_gib,
+        "max_new_tokens": max_new,
+        "tokens_per_sec": round(tok_s, 2),
+        "tokens_per_sec_decode_only": round(tok_s_decode, 2),
+        "prefill_s": round(t_prefill, 3),
+        "decode_step_ms": round(
+            (t_full - t_prefill) / max_new * 1000, 2
+        ),
+    }
+    print(json.dumps({"metric": "llava7b_greedy_decode", **out}))
+    return out
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_llava7b import _init_bf16_on_device
+    from robustvlm_tpu.models.llava.model import LLAVA_CONFIGS
+
+    batches = [
+        int(b)
+        for b in os.environ.get("BENCH_DECODE_BATCHES", "1,2,4").split(",")
+    ]
+    max_new = int(os.environ.get("BENCH_DECODE_NEW", 128))
+
+    cfg = LLAVA_CONFIGS["llava-1.5-7b"]
+    params = _init_bf16_on_device(cfg)
+    n_bytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(params))
+    print(f"params resident: {n_bytes / 2**30:.2f} GiB bf16", file=sys.stderr)
+
+    points = [run_one(params, cfg, b, max_new) for b in batches]
+
+    fits = [p for p in points if p.get("hbm_verdict") == "fits"]
+    best = max(fits, key=lambda p: p["tokens_per_sec"]) if fits else None
+    try:
+        bw = _measure_copy_bandwidth_gb_s()
+    except Exception as e:  # noqa: BLE001 — roofline is diagnostics
+        print(f"bandwidth anchor failed: {e!s:.200}", file=sys.stderr)
+        bw = None
+    t_avg = T_PRE + cfg.n_image_tokens + T_QUESTION + max_new // 2
+    step_gb = _decode_step_bytes(cfg, t_avg) / 1e9
+    summary = {
+        "metric": "llava7b_greedy_decode_tokens_per_sec",
+        "value": best["tokens_per_sec"] if best else None,
+        "unit": "tokens/s/chip",
+        "best_batch": best["batch"] if best else None,
+        "sweep": points,
+        "roofline": {
+            "weights_plus_kv_gb_per_step": round(step_gb, 2),
+            "measured_copy_bandwidth_gb_s": round(bw, 1) if bw else None,
+            "hbm_sol_steps_per_sec": round(bw / step_gb, 1) if bw else None,
+        },
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

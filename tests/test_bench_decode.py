@@ -1,0 +1,123 @@
+"""CPU parity: scripts/bench_decode.make_unstacked_decode_fns (the 7B
+decode bench's per-layer-weights path) vs models/llava/model.
+make_llava_decode_fns (the stacked production path used by the serve
+stack and VLM eval generation).
+
+The bench unstacks the LM weights for the same HBM reason as
+scripts/bench_llava7b.py (the stacked (32,4096,4096) scan relayout-copies
++4.1 GiB on a 16 GB v5e); this test pins that the recomposition is
+math-identical at fp32 on a tiny llama-family config — same greedy
+tokens, same sequence log-probs, including left-padded ragged prompts.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from bench_decode import make_unstacked_decode_fns  # noqa: E402
+
+from robustvlm_tpu.models.generation import greedy_generate, left_pad  # noqa: E402
+from robustvlm_tpu.models.llava.model import (  # noqa: E402
+    LLAVA_CONFIGS,
+    init_llava_params,
+    make_llava_decode_fns,
+)
+
+CFG = LLAVA_CONFIGS["test-tiny"]
+
+
+def _unstack(params, n_layers):
+    """The bench_llava7b._init_bf16_on_device layout, derived from the
+    production tree: params['llama'] loses 'blocks', params['layers'] is a
+    tuple of per-layer trees."""
+    p = {k: v for k, v in params.items() if k != "llama"}
+    llama = dict(params["llama"])
+    blocks = llama.pop("blocks")
+    p["llama"] = llama
+    p["layers"] = tuple(
+        jax.tree.map(lambda a: a[i], blocks) for i in range(n_layers)
+    )
+    return p
+
+
+def test_unstacked_decode_matches_production():
+    params = init_llava_params(jax.random.PRNGKey(0), CFG)
+    params_u = _unstack(params, CFG.llama.n_layers)
+
+    rng = np.random.RandomState(0)
+    b = 2
+    pixels = jnp.asarray(
+        rng.rand(b, 3, CFG.vision.image_size, CFG.vision.image_size)
+        .astype(np.float32)
+    )
+    pre = jnp.asarray(rng.randint(0, CFG.llama.vocab_size, (b, 3)))
+    # ragged prompts -> left padding exercises the kv-validity masking
+    post_np, n_pad = left_pad([[7, 8, 9], [5, 6]])
+    post = jnp.asarray(post_np)
+    n_pad = jnp.asarray(n_pad)
+    max_new = 4
+    max_total = post.shape[1] + max_new
+
+    pf_s, df_s = make_llava_decode_fns(
+        params, CFG, pixels, pre, max_total_len=max_total,
+        compute_dtype=jnp.float32,
+    )
+    r_stacked = greedy_generate(
+        pf_s, df_s, post, n_pad, max_new_tokens=max_new, eos_id=-1
+    )
+
+    pf_u, df_u = make_unstacked_decode_fns(
+        params_u, CFG, pixels, pre, max_total_len=max_total,
+        compute_dtype=jnp.float32,
+    )
+    r_unstacked = greedy_generate(
+        pf_u, df_u, post, n_pad, max_new_tokens=max_new, eos_id=-1
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(r_stacked.tokens), np.asarray(r_unstacked.tokens)
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_stacked.scores), np.asarray(r_unstacked.scores),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_unstacked_prefill_logits_match():
+    """Prefill-only parity (the decode bench times prefill separately to
+    report decode-only tokens/s)."""
+    params = init_llava_params(jax.random.PRNGKey(1), CFG)
+    params_u = _unstack(params, CFG.llama.n_layers)
+
+    rng = np.random.RandomState(1)
+    b = 2
+    pixels = jnp.asarray(
+        rng.rand(b, 3, CFG.vision.image_size, CFG.vision.image_size)
+        .astype(np.float32)
+    )
+    pre = jnp.asarray(rng.randint(0, CFG.llama.vocab_size, (b, 4)))
+    post = jnp.asarray(rng.randint(0, CFG.llama.vocab_size, (b, 5)))
+    kv_valid = jnp.ones((b, post.shape[1]), bool)
+    positions = jnp.broadcast_to(
+        jnp.arange(post.shape[1])[None], (b, post.shape[1])
+    )
+
+    pf_s, _ = make_llava_decode_fns(
+        params, CFG, pixels, pre, max_total_len=post.shape[1] + 2,
+        compute_dtype=jnp.float32,
+    )
+    pf_u, _ = make_unstacked_decode_fns(
+        params_u, CFG, pixels, pre, max_total_len=post.shape[1] + 2,
+        compute_dtype=jnp.float32,
+    )
+    l_s, _ = pf_s(post, kv_valid, positions)
+    l_u, _ = pf_u(post, kv_valid, positions)
+    np.testing.assert_allclose(
+        np.asarray(l_s), np.asarray(l_u), rtol=1e-5, atol=1e-5
+    )
