@@ -26,6 +26,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from robustvlm_tpu.ops.quant import qmatmul
+
 Params = Dict[str, Any]
 
 
@@ -142,11 +144,13 @@ def _block(x, bp, cfg: LlamaConfig, cos, sin, *, flash, cache=None, pos=None,
     (B, cache_len) marks valid key slots (padding-aware generation)."""
     b, t, _ = x.shape
     cd = x.dtype
-    W = lambda a: a.astype(cd)
+    # qmatmul: plain weights cast to cd (the historical W() convention);
+    # QuantizedWeight leaves (ops/quant.py, decode serving) stream int8
+    # from HBM and scale after the dot
     h = rms_norm(x, bp["attn_norm"], cfg.norm_eps)
-    q = (h @ W(bp["attn"]["wq"])).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = (h @ W(bp["attn"]["wk"])).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = (h @ W(bp["attn"]["wv"])).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = qmatmul(h, bp["attn"]["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = qmatmul(h, bp["attn"]["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = qmatmul(h, bp["attn"]["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -168,12 +172,12 @@ def _block(x, bp, cfg: LlamaConfig, cos, sin, *, flash, cache=None, pos=None,
         att = _attn(q, k, v, causal=True, flash=flash, kv_mask=kv_mask)
 
     att = att.transpose(0, 2, 1, 3).reshape(b, t, cfg.dim)
-    x = x + att.astype(cd) @ W(bp["attn"]["wo"])
+    x = x + qmatmul(att.astype(cd), bp["attn"]["wo"])
 
     h = rms_norm(x, bp["ffn_norm"], cfg.norm_eps)
-    gate = jax.nn.silu(h @ W(bp["mlp"]["w_gate"]))
-    up = h @ W(bp["mlp"]["w_up"])
-    x = x + (gate * up) @ W(bp["mlp"]["w_down"])
+    gate = jax.nn.silu(qmatmul(h, bp["mlp"]["w_gate"]))
+    up = qmatmul(h, bp["mlp"]["w_up"])
+    x = x + qmatmul(gate * up, bp["mlp"]["w_down"])
     return x, new_cache
 
 
@@ -246,7 +250,7 @@ def llama_forward(
 
         x, new_cache = jax.lax.scan(body, x, (blocks, cache))
         h = rms_norm(x, params["norm"], cfg.norm_eps)
-        logits = (h @ params["lm_head"].astype(compute_dtype)).astype(jnp.float32)
+        logits = qmatmul(h, params["lm_head"]).astype(jnp.float32)
         return logits, new_cache
 
     def body(h, bp):
@@ -275,7 +279,7 @@ def llama_forward(
     x = rms_norm(x, params["norm"], cfg.norm_eps)
     if return_hidden:
         return x
-    return (x @ params["lm_head"].astype(compute_dtype)).astype(jnp.float32)
+    return qmatmul(x, params["lm_head"]).astype(jnp.float32)
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None,

@@ -31,7 +31,9 @@ chip (the docstring is updated from the captured JSON; until then the
 JSON lines are the record).
 
 Usage: python scripts/bench_decode.py          (needs the TPU)
-       BENCH_DECODE_BATCHES=1,2,4 BENCH_DECODE_NEW=128 to steer.
+       BENCH_DECODE_BATCHES=1,2,4 BENCH_DECODE_NEW=128 to steer;
+       BENCH_DECODE_Q8=1 serves the LM int8 weight-only (ops/quant.py) —
+       halving the weight bytes the roofline says dominate the step.
 Prints one JSON line per batch point; the last line carries the sweep
 summary. CPU parity of the unstacked fns vs the stacked production path:
 tests/test_bench_decode.py.
@@ -79,6 +81,7 @@ def make_unstacked_decode_fns(
     production path) — pinned by tests/test_bench_decode.py."""
     from robustvlm_tpu.models.llama.model import _block, rms_norm, rope_freqs
     from robustvlm_tpu.models.llava.model import encode_images, splice_embeddings
+    from robustvlm_tpu.ops.quant import qmatmul
 
     lcfg = cfg.llama
     img = encode_images(params, pixels01, cfg, compute_dtype=compute_dtype)
@@ -96,7 +99,7 @@ def make_unstacked_decode_fns(
             )
             new_caches.append(nc)
         h = rms_norm(x, params["llama"]["norm"], lcfg.norm_eps)
-        logits = h @ params["llama"]["lm_head"].astype(compute_dtype)
+        logits = qmatmul(h, params["llama"]["lm_head"])
         return logits.astype(jnp.float32), tuple(new_caches)
 
     def init_caches(b):
@@ -158,10 +161,11 @@ def _measure_copy_bandwidth_gb_s(gib: float = 2.0, iters: int = 20):
     return 2 * (n * 2) * iters / dt / 1e9
 
 
-def _decode_step_bytes(cfg, t_avg: int) -> float:
-    """HBM bytes one decode step must move at bf16: the full LM weight set
-    (re-read every token) + the KV cache read at average occupancy t_avg +
-    the cache write. Batch-invariant for the weight term."""
+def _decode_step_bytes(cfg, t_avg: int, *, weight_bytes: float = 2.0) -> float:
+    """HBM bytes one decode step must move: the full LM weight set (re-read
+    every token; `weight_bytes`/element — 2.0 bf16, 1.0 int8 weight-only)
+    + the KV cache read at average occupancy t_avg + the cache write
+    (always bf16). Batch-invariant for the weight term."""
     lcfg = cfg.llama
     per_layer = (
         4 * lcfg.dim * lcfg.dim          # wq wk wv wo
@@ -169,7 +173,7 @@ def _decode_step_bytes(cfg, t_avg: int) -> float:
     )
     weights = lcfg.n_layers * per_layer + lcfg.dim * lcfg.vocab_size
     kv = lcfg.n_layers * 2 * lcfg.n_kv_heads * lcfg.head_dim * t_avg
-    return 2.0 * (weights + kv)  # bf16
+    return weight_bytes * weights + 2.0 * kv
 
 
 def run_one(params, cfg, batch: int, max_new: int):
@@ -276,8 +280,34 @@ def main():
 
     cfg = LLAVA_CONFIGS["llava-1.5-7b"]
     params = _init_bf16_on_device(cfg)
+
+    q8 = os.environ.get("BENCH_DECODE_Q8") == "1"
+    if q8:
+        # PROGRESSIVE per-layer quantization: quantizing the whole 13.16 GiB
+        # bf16 tree at once would transiently hold bf16 + int8 (19.8 GiB,
+        # OOM on the 16 GiB v5e); converting layer-by-layer and dropping
+        # each bf16 layer as its int8 replacement lands peaks at ~13.4 GiB
+        # and ends at ~6.9 GiB resident.
+        from robustvlm_tpu.ops.quant import quantize_llama_blocks, quantize_q8
+
+        qz = jax.jit(quantize_llama_blocks)
+        layers = list(params["layers"])
+        params["layers"] = None
+        for i in range(len(layers)):
+            ql = qz(layers[i])
+            jax.block_until_ready(ql)
+            layers[i] = ql  # drops the only bf16 ref -> freed on device
+        params["layers"] = tuple(layers)
+        llama = dict(params["llama"])
+        llama["lm_head"] = jax.jit(quantize_q8)(llama["lm_head"])
+        params["llama"] = llama
+
     n_bytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(params))
-    print(f"params resident: {n_bytes / 2**30:.2f} GiB bf16", file=sys.stderr)
+    print(
+        f"params resident: {n_bytes / 2**30:.2f} GiB"
+        + (" (int8 weight-only LM)" if q8 else " bf16"),
+        file=sys.stderr,
+    )
 
     points = [run_one(params, cfg, b, max_new) for b in batches]
 
@@ -289,11 +319,14 @@ def main():
         print(f"bandwidth anchor failed: {e!s:.200}", file=sys.stderr)
         bw = None
     t_avg = T_PRE + cfg.n_image_tokens + T_QUESTION + max_new // 2
-    step_gb = _decode_step_bytes(cfg, t_avg) / 1e9
+    step_gb = _decode_step_bytes(
+        cfg, t_avg, weight_bytes=1.0 if q8 else 2.0
+    ) / 1e9
     summary = {
         "metric": "llava7b_greedy_decode_tokens_per_sec",
         "value": best["tokens_per_sec"] if best else None,
         "unit": "tokens/s/chip",
+        "weights": "int8" if q8 else "bf16",
         "best_batch": best["batch"] if best else None,
         "sweep": points,
         "roofline": {

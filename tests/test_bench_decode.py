@@ -89,6 +89,37 @@ def test_unstacked_decode_matches_production():
     )
 
 
+def test_unstacked_decode_quantized_runs():
+    """BENCH_DECODE_Q8 path: the unstacked tree with int8 weight-only LM
+    blocks + lm_head decodes end-to-end; scores land near the fp path."""
+    from robustvlm_tpu.ops.quant import quantize_llama_decode_params
+
+    params = init_llava_params(jax.random.PRNGKey(0), CFG)
+    params_u = _unstack(params, CFG.llama.n_layers)
+    params_q = quantize_llama_decode_params(params_u, min_size=0)
+
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(
+        rng.rand(1, 3, CFG.vision.image_size, CFG.vision.image_size)
+        .astype(np.float32)
+    )
+    pre = jnp.asarray(rng.randint(0, CFG.llama.vocab_size, (1, 3)))
+    post_np, n_pad = left_pad([[7, 8, 9]])
+    post, n_pad = jnp.asarray(post_np), jnp.asarray(n_pad)
+
+    res = {}
+    for name, p in [("fp", params_u), ("q8", params_q)]:
+        pf, df = make_unstacked_decode_fns(
+            p, CFG, pixels, pre, max_total_len=7, compute_dtype=jnp.float32
+        )
+        res[name] = greedy_generate(
+            pf, df, post, n_pad, max_new_tokens=4, eos_id=-1
+        )
+    assert res["q8"].tokens.shape == (1, 4)
+    assert np.isfinite(float(res["q8"].scores[0]))
+    assert abs(float(res["q8"].scores[0] - res["fp"].scores[0])) < 2.0
+
+
 def test_unstacked_prefill_logits_match():
     """Prefill-only parity (the decode bench times prefill separately to
     report decode-only tokens/s)."""

@@ -1,0 +1,125 @@
+"""Weight-only int8 decode quantization (ops/quant.py).
+
+Pins: (a) quantize->dequant error bound, (b) the post-dot scale is exactly
+the scaled-weight matmul (the commutation the serving path relies on),
+(c) the llama decode path runs transparently on a quantized tree with
+logits close to the fp path, (d) attacks/training paths are untouched
+(plain arrays take the historical cast-to-compute-dtype route).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robustvlm_tpu.models.generation import greedy_generate, left_pad
+from robustvlm_tpu.models.llama.model import (
+    LLAMA_CONFIGS,
+    init_llama_params,
+    llama_forward,
+)
+from robustvlm_tpu.models.llava.model import (
+    LLAVA_CONFIGS,
+    init_llava_params,
+    make_llava_decode_fns,
+)
+from robustvlm_tpu.ops.quant import (
+    QuantizedWeight,
+    dequantize,
+    qmatmul,
+    quantize_llama_decode_params,
+    quantize_q8,
+)
+
+
+class TestQuantizeQ8:
+    def test_roundtrip_error_bound(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (128, 64)) * 0.02
+        qw = quantize_q8(w)
+        assert qw.q.dtype == jnp.int8
+        assert qw.s.shape == (1, 64)
+        err = np.abs(np.asarray(dequantize(qw) - w))
+        # symmetric 8-bit: per-column max error <= s/2 (half a step)
+        bound = np.asarray(qw.s)[0] / 2 + 1e-9
+        assert (err <= bound[None, :]).all()
+
+    def test_scale_commutes_with_dot(self):
+        k, n, b = 64, 32, 4
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, n))
+        x = jax.random.normal(jax.random.PRNGKey(2), (b, k))
+        qw = quantize_q8(w)
+        post = np.asarray(qmatmul(x, qw))
+        pre = np.asarray(x @ dequantize(qw))
+        np.testing.assert_allclose(post, pre, rtol=1e-5, atol=1e-5)
+
+    def test_plain_array_passthrough(self):
+        w = jax.random.normal(jax.random.PRNGKey(3), (8, 8))
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 8), jnp.bfloat16)
+        y = qmatmul(x, w)
+        assert y.dtype == jnp.bfloat16  # cast-to-x.dtype convention
+        np.testing.assert_allclose(
+            np.asarray(y, np.float32),
+            np.asarray(x @ w.astype(jnp.bfloat16), np.float32),
+        )
+
+    def test_stacked_blocks_quantize(self):
+        """The stacked (L, K, N) tree keeps per-output-channel scales and
+        still slices per layer (QuantizedWeight is a pytree)."""
+        cfg = LLAMA_CONFIGS["test-tiny"]
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        qp = quantize_llama_decode_params({"llama": params}, min_size=0)["llama"]
+        wq = qp["blocks"]["attn"]["wq"]
+        assert isinstance(wq, QuantizedWeight)
+        assert wq.q.shape == (cfg.n_layers, cfg.dim, cfg.dim)
+        assert wq.s.shape == (cfg.n_layers, 1, cfg.dim)
+        layer0 = jax.tree.map(lambda a: a[0], qp["blocks"])
+        assert layer0["attn"]["wq"].q.shape == (cfg.dim, cfg.dim)
+
+
+class TestQuantizedForward:
+    def test_logits_close_to_fp(self):
+        cfg = LLAMA_CONFIGS["test-tiny"]
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_llama_decode_params({"llama": params}, min_size=0)["llama"]
+        toks = jnp.asarray(
+            np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 7))
+        )
+        lp = llama_forward(params, toks, cfg=cfg, compute_dtype=jnp.float32)
+        lq = llama_forward(qparams, toks, cfg=cfg, compute_dtype=jnp.float32)
+        # int8 weight-only on a 2-layer tiny model: small relative error
+        rel = float(
+            jnp.linalg.norm(lp - lq) / jnp.maximum(jnp.linalg.norm(lp), 1e-9)
+        )
+        assert rel < 0.05, rel
+
+    def test_quantized_decode_generates(self):
+        """End-to-end: make_llava_decode_fns on a quantized tree runs the
+        full greedy loop; scores stay near the fp path."""
+        cfg = LLAVA_CONFIGS["test-tiny"]
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_llama_decode_params(params, min_size=0)
+
+        rng = np.random.RandomState(0)
+        pix = jnp.asarray(
+            rng.rand(1, 3, cfg.vision.image_size, cfg.vision.image_size)
+            .astype(np.float32)
+        )
+        pre = jnp.asarray(rng.randint(0, cfg.llama.vocab_size, (1, 3)))
+        post_np, n_pad = left_pad([[7, 8, 9]])
+        post, n_pad = jnp.asarray(post_np), jnp.asarray(n_pad)
+
+        results = {}
+        for name, p in [("fp", params), ("q8", qparams)]:
+            pf, df = make_llava_decode_fns(
+                p, cfg, pix, pre, max_total_len=8, compute_dtype=jnp.float32
+            )
+            results[name] = greedy_generate(
+                pf, df, post, n_pad, max_new_tokens=4, eos_id=-1
+            )
+        assert results["q8"].tokens.shape == (1, 4)
+        assert np.isfinite(float(results["q8"].scores[0]))
+        # random tiny weights -> near-uniform logits, argmax may flip; the
+        # sequence score (sum of chosen-token logprobs) stays in the same
+        # ballpark
+        assert abs(
+            float(results["q8"].scores[0] - results["fp"].scores[0])
+        ) < 2.0
