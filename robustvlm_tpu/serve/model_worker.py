@@ -336,11 +336,23 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=8,
                    help="micro-batch cap; requests pad to this one "
                         "compiled shape")
+    p.add_argument("--quantize-decode", action="store_true",
+                   help="serve generation from int8 weight-only LM blocks "
+                        "(ops/quant.py): decode is HBM-bandwidth-bound, so "
+                        "halving the weight bytes ~halves the step time; "
+                        "quantized lazily on first generate")
     args = p.parse_args(argv)
 
     from robustvlm_tpu.vlm_eval.run_evaluation import build_eval_model
 
     model = build_eval_model(args, "half")
+    if args.quantize_decode:
+        if not hasattr(model, "quantize_decode"):
+            raise SystemExit(
+                f"--quantize-decode is not supported by the "
+                f"'{args.model}' adapter (llava only)"
+            )
+        model.quantize_decode = True
     size = model.cfg.vision.image_size
     worker = ModelWorker(
         model, f"{args.model}-{args.model_size}",

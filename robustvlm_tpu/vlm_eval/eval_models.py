@@ -109,6 +109,7 @@ class LlavaEvalModel:
         compute_dtype=jnp.bfloat16,
         remat: bool = False,
         max_post_len: int = 64,
+        quantize_decode: bool = False,
     ):
         from robustvlm_tpu.models.llava.model import llava_per_sample_loss
 
@@ -119,6 +120,16 @@ class LlavaEvalModel:
         self.remat = remat
         self.max_post_len = max_post_len
         self._cached: Optional[_CachedInputs] = None
+        # quantize_decode: serve generation from int8 weight-only LM blocks
+        # (ops/quant.py — decode is HBM-bandwidth-bound, int8 halves the
+        # bytes/step). Quantized LAZILY on first generate so attack-only use
+        # pays nothing; the fp tree is kept for the loss/attack path (the
+        # threat model is defined on the fp model). NOTE at 7B both trees
+        # don't fit one 16 GiB chip — a serving-only worker should instead
+        # pass an already-quantized tree as `params` (qmatmul is transparent)
+        # or shard fsdp over 2 chips.
+        self.quantize_decode = quantize_decode
+        self._decode_params = None
 
         def loss_fn(p, x, pre, post, labels, mask):
             return llava_per_sample_loss(
@@ -203,8 +214,17 @@ class LlavaEvalModel:
         pre_ids = [self.tok.bos_token_id] + _encode_plain(self.tok, pre_txt)
         post_seqs = [_encode_plain(self.tok, split_at_image(p)[1]) for p in prompts]
         toks, n_pad = left_pad(post_seqs, self.tok.pad_token_id)
+        gen_params = self.params
+        if self.quantize_decode:
+            if self._decode_params is None:
+                from robustvlm_tpu.ops.quant import (
+                    quantize_llama_decode_params,
+                )
+
+                self._decode_params = quantize_llama_decode_params(self.params)
+            gen_params = self._decode_params
         pf, df = make_llava_decode_fns(
-            self.params, self.cfg, x01, jnp.asarray([pre_ids] * x01.shape[0]),
+            gen_params, self.cfg, x01, jnp.asarray([pre_ids] * x01.shape[0]),
             max_total_len=toks.shape[1] + max_new_tokens,
             compute_dtype=self.compute_dtype,
         )

@@ -303,3 +303,51 @@ class TestMicroBatcher:
     def test_invalid_max_batch_rejected(self):
         with pytest.raises(ValueError, match="max_batch"):
             self._worker(self._FakeModel(), window_ms=10.0, max_batch=0)
+
+
+class TestQuantizedServing:
+    def test_quantize_decode_lazy_and_isolated(self):
+        """--quantize-decode: generation runs off a lazily-built int8 tree
+        (lm_head always quantized) while the fp tree keeps serving the
+        loss/attack path untouched."""
+        from robustvlm_tpu.models.llava.model import (
+            LLAVA_CONFIGS,
+            init_llava_params,
+        )
+        from robustvlm_tpu.ops.quant import QuantizedWeight
+        from robustvlm_tpu.vlm_eval.eval_models import (
+            LlavaEvalModel,
+            WordTokenizer,
+        )
+
+        cfg = LLAVA_CONFIGS["test-tiny"]
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        model = LlavaEvalModel(
+            params, cfg, WordTokenizer(cfg.llama.vocab_size),
+            compute_dtype=jnp.float32, max_post_len=16,
+            quantize_decode=True,
+        )
+        assert model._decode_params is None  # lazy: attack-only use is free
+
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+        )
+        out = model.get_outputs(
+            x, [model.get_caption_prompt()], max_new_tokens=3
+        )
+        assert len(out) == 1 and isinstance(out[0], str)
+        assert isinstance(
+            model._decode_params["llama"]["lm_head"], QuantizedWeight
+        )
+        # fp loss path untouched by the quantized generation tree
+        assert not isinstance(model.params["llama"]["lm_head"], QuantizedWeight)
+        model.set_inputs([model.get_caption_prompt("a cat")])
+        loss = model(x)
+        assert np.isfinite(float(loss[0]))
+
+    def test_worker_cli_rejects_unsupported_adapter(self):
+        from robustvlm_tpu.serve.model_worker import main
+
+        with pytest.raises(SystemExit):
+            main(["--model", "open_flamingo", "--quantize-decode",
+                  "--model_size", "test-tiny", "--controller-address", ""])
