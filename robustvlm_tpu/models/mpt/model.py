@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from robustvlm_tpu.ops.quant import qmatmul
+
 Params = Dict[str, Any]
 
 
@@ -106,10 +108,11 @@ def _block(x, bp, cfg: MPTConfig, slopes, *, flash, cache=None, pos=None,
            kv_mask=None, positions=None, kv_positions=None):
     b, t, d = x.shape
     cd = x.dtype
-    W = lambda a: a.astype(cd)
     nb = cfg.no_bias
+    # qmatmul: plain weights cast to cd (the historical convention);
+    # QuantizedWeight leaves (ops/quant.py, decode serving) stream int8
     h = layer_norm(x, bp["norm_1"], None if nb else bp.get("norm_1_b"), cfg.norm_eps)
-    qkv = h @ W(bp["attn"]["wqkv"])
+    qkv = qmatmul(h, bp["attn"]["wqkv"])
     if not nb:
         qkv = qkv + bp["attn"]["wqkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -155,16 +158,16 @@ def _block(x, bp, cfg: MPTConfig, slopes, *, flash, cache=None, pos=None,
         )
 
     att = att.transpose(0, 2, 1, 3).reshape(b, t, d)
-    o = att.astype(cd) @ W(bp["attn"]["out_w"])
+    o = qmatmul(att.astype(cd), bp["attn"]["out_w"])
     if not nb:
         o = o + bp["attn"]["out_b"]
     x = x + o
 
     h = layer_norm(x, bp["norm_2"], None if nb else bp.get("norm_2_b"), cfg.norm_eps)
-    up = h @ W(bp["mlp"]["up_w"])
+    up = qmatmul(h, bp["mlp"]["up_w"])
     if not nb:
         up = up + bp["mlp"]["up_b"]
-    dn = jax.nn.gelu(up, approximate=False) @ W(bp["mlp"]["down_w"])
+    dn = qmatmul(jax.nn.gelu(up, approximate=False), bp["mlp"]["down_w"])
     if not nb:
         dn = dn + bp["mlp"]["down_b"]
     return x + dn, new_cache

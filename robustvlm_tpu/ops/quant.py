@@ -79,52 +79,60 @@ def _is_leaf(x: Any) -> bool:
     return isinstance(x, QuantizedWeight)
 
 
-def quantize_llama_blocks(block_params, *, min_size: int = 1 << 16):
-    """Quantize the matmul weights of a llama block tree — the leaves under
-    the 'attn' (wq/wk/wv/wo) and 'mlp' (w_gate/w_up/w_down) groups —
-    selected BY KEY, not by shape: on the stacked (L, ...) tree the norms
-    are 2D and at 7B size would pass any size/ndim filter, and a quantized
-    rms_norm gain is wrong. Works on one per-layer tree, a tuple of them
-    (the unstacked 7B layout), or the stacked tree — the scale keeps its
+def quantize_lm_blocks(block_params, *, min_size: int = 1 << 16):
+    """Quantize the matmul weights of a decoder block tree — the leaves
+    under the 'attn' / 'mlp' groups (llama: wq/wk/wv/wo, w_gate/w_up/
+    w_down; mpt: wqkv/out_w, up_w/down_w) — selected BY KEY, not by shape:
+    on the stacked (L, ...) tree the norms are 2D and at 7B size would
+    pass any size/ndim filter, and a quantized rms_norm gain is wrong.
+    Bias leaves ('*_b', and anything non-matrix after stacking) pass
+    through. Works on one per-layer tree, a tuple of them (the unstacked
+    7B layout), or the stacked tree — the scale keeps its
     per-output-channel (last) axis either way."""
     if isinstance(block_params, (tuple, list)):
         return type(block_params)(
-            quantize_llama_blocks(bp, min_size=min_size)
+            quantize_lm_blocks(bp, min_size=min_size)
             for bp in block_params
         )
 
-    def one(a):
-        if a.size < min_size:
+    def one(name, a):
+        if name.endswith("_b") or a.size < min_size:
             return a
         return quantize_q8(a, contract_axis=-2)
 
     out = dict(block_params)
     for grp in ("attn", "mlp"):
         if grp in out:
-            out[grp] = {k: one(v) for k, v in out[grp].items()}
+            out[grp] = {k: one(k, v) for k, v in out[grp].items()}
     return out
+
+
+# backwards-compat alias (earlier name)
+quantize_llama_blocks = quantize_lm_blocks
 
 
 def quantize_llama_decode_params(
     params, *, quantize_lm_head: bool = True, min_size: int = 1 << 16
 ):
     """The decode-serving layout: quantize the LM block weights (stacked
-    'llama.blocks' and/or unstacked 'layers') and optionally lm_head
-    (dim x vocab, 262 MB bf16 at 7B). tok_embedding stays fp (decode
-    gathers one row per step); the vision tower stays fp (prefill-only)."""
+    'llama.blocks' / 'mpt.blocks' and/or unstacked 'layers') and
+    optionally the llama lm_head (dim x vocab, 262 MB bf16 at 7B).
+    tok_embedding stays fp (decode gathers one row per step; MPT's tied
+    lm_head therefore also stays fp); the vision tower stays fp
+    (prefill-only)."""
     out = dict(params)
-    if "llama" in out:
-        llama = dict(out["llama"])
-        if "blocks" in llama:
-            llama["blocks"] = quantize_llama_blocks(
-                llama["blocks"], min_size=min_size
-            )
-        if quantize_lm_head and "lm_head" in llama:
-            llama["lm_head"] = quantize_q8(llama["lm_head"])
-        out["llama"] = llama
+    for fam in ("llama", "mpt"):
+        if fam not in out:
+            continue
+        lm = dict(out[fam])
+        if "blocks" in lm:
+            lm["blocks"] = quantize_lm_blocks(lm["blocks"], min_size=min_size)
+        if fam == "llama" and quantize_lm_head and "lm_head" in lm:
+            lm["lm_head"] = quantize_q8(lm["lm_head"])
+        out[fam] = lm
     if "layers" in out:
         out["layers"] = tuple(
-            quantize_llama_blocks(bp, min_size=min_size)
+            quantize_lm_blocks(bp, min_size=min_size)
             for bp in out["layers"]
         )
     return out

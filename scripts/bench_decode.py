@@ -26,9 +26,23 @@ linearly with batch until the KV cache's HBM share bites — the measured
 curve below is the quantitative case for the serving micro-batcher
 (serve/model_worker.py window coalescing).
 
-Measured numbers: filled in below by the sweep itself once run on the
-chip (the docstring is updated from the captured JSON; until then the
-JSON lines are the record).
+Measured (v5e, round 4, 128 new tokens, prompt = 35 sys + 576 image + 12
+question tokens, greedy):
+
+  bf16  b1: 53.2 tok/s   (decode-only 55.2; step 18.13 ms moving 13.58 GB
+            = 749 GB/s effective read — ~91% of what the chip streams)
+        b2/b4: compile OOM — at batch>=2 XLA relayout-copies the unstacked
+            (4096,4096) weights as HLO temps (17.04 needed / 15.75 GiB)
+  int8  b1: 92.3 tok/s   (step 10.19 ms, 6.97 GB/step = 684 GB/s read;
+            1.74x bf16 — weight-only quantization, ops/quant.py)
+        b2: 134.1 tok/s  (fits where bf16 OOMs: int8 relayout temps halve)
+        b4: 236.2 tok/s aggregate (14.99 ms step) — params 7.01 GiB
+            resident; the micro-batcher's case in numbers
+
+The copy-bandwidth anchor (read+write scan chain, 532 GB/s) is a
+conservative floor: decode's ~all-read stream runs 680-750 GB/s. No
+published reference datum exists for this workload (the reference serves
+HF fp16 without a throughput number); the roofline above is the yardstick.
 
 Usage: python scripts/bench_decode.py          (needs the TPU)
        BENCH_DECODE_BATCHES=1,2,4 BENCH_DECODE_NEW=128 to steer;
@@ -218,10 +232,23 @@ def run_one(params, cfg, batch: int, max_new: int):
         toks = gen_j(params, pixels, pre, question)
         int(np.asarray(toks[0, 0]))  # scalar readback = remote sync
     except Exception as e:  # HBM verdict must be a JSON line, not a trace
+        # An on-device OOM says RESOURCE_EXHAUSTED; a compile-time OOM
+        # through the axon tunnel surfaces as an opaque remote_compile
+        # HTTP 500 (the 'Ran out of memory in memory space hbm' text only
+        # reaches stderr) — measured: bf16 batch 2 relayout-copies the
+        # unstacked weights as HLO temps (17.04 of 15.75 GiB). Either way
+        # the sweep must continue to the next batch point.
         msg = str(e)
-        if "RESOURCE_EXHAUSTED" not in msg and "Out of memory" not in msg:
-            raise
-        out = {"batch": batch, "hbm_verdict": "OOM", "error": msg[:400]}
+        oom = (
+            "RESOURCE_EXHAUSTED" in msg
+            or "Out of memory" in msg
+            or "remote_compile" in msg
+        )
+        out = {
+            "batch": batch,
+            "hbm_verdict": "OOM(compile)" if oom else "error",
+            "error": msg[:400],
+        }
         print(json.dumps({"metric": "llava7b_greedy_decode", **out}))
         return out
     print(
@@ -322,6 +349,15 @@ def main():
     step_gb = _decode_step_bytes(
         cfg, t_avg, weight_bytes=1.0 if q8 else 2.0
     ) / 1e9
+    # effective streaming bandwidth implied by the measured batch-1 step:
+    # decode reads are ~all-read (weights + KV), which streams FASTER than
+    # the read+write copy chain the anchor measures (measured: q8 b1 does
+    # 6.97 GB in 10.19 ms = 684 GB/s vs the 532 GB/s copy anchor) — so the
+    # copy anchor is a conservative floor, not the read SOL.
+    b1 = next((p for p in fits if p["batch"] == 1), None)
+    eff_gb_s = (
+        round(step_gb / (b1["decode_step_ms"] / 1e3), 1) if b1 else None
+    )
     summary = {
         "metric": "llava7b_greedy_decode_tokens_per_sec",
         "value": best["tokens_per_sec"] if best else None,
@@ -332,7 +368,10 @@ def main():
         "roofline": {
             "weights_plus_kv_gb_per_step": round(step_gb, 2),
             "measured_copy_bandwidth_gb_s": round(bw, 1) if bw else None,
-            "hbm_sol_steps_per_sec": round(bw / step_gb, 1) if bw else None,
+            "copy_anchor_floor_steps_per_sec": (
+                round(bw / step_gb, 1) if bw else None
+            ),
+            "effective_read_gb_s_at_b1": eff_gb_s,
         },
     }
     print(json.dumps(summary))

@@ -123,3 +123,38 @@ class TestQuantizedForward:
         assert abs(
             float(results["q8"].scores[0] - results["fp"].scores[0])
         ) < 2.0
+
+
+class TestQuantizedMpt:
+    def test_mpt_blocks_quantize_and_decode(self):
+        """MPT family: wqkv/out_w/up_w/down_w quantize (biases and the tied
+        tok_embedding lm_head stay fp); the llava-mpt decode path runs."""
+        from robustvlm_tpu.ops.quant import quantize_q8  # noqa: F401
+
+        cfg = LLAVA_CONFIGS["test-tiny-mpt"]
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_llama_decode_params(params, min_size=0)
+        blocks = qparams["mpt"]["blocks"]
+        assert isinstance(blocks["attn"]["wqkv"], QuantizedWeight)
+        assert isinstance(blocks["mlp"]["down_w"], QuantizedWeight)
+        if "wqkv_b" in blocks["attn"]:
+            assert not isinstance(blocks["attn"]["wqkv_b"], QuantizedWeight)
+        assert not isinstance(qparams["mpt"]["tok_embedding"], QuantizedWeight)
+
+        rng = np.random.RandomState(0)
+        pix = jnp.asarray(
+            rng.rand(1, 3, cfg.vision.image_size, cfg.vision.image_size)
+            .astype(np.float32)
+        )
+        pre = jnp.asarray(rng.randint(0, cfg.mpt.vocab_size, (1, 3)))
+        post_np, n_pad = left_pad([[7, 8, 9]])
+        pf, df = make_llava_decode_fns(
+            qparams, cfg, pix, pre, max_total_len=7,
+            compute_dtype=jnp.float32,
+        )
+        r = greedy_generate(
+            pf, df, jnp.asarray(post_np), jnp.asarray(n_pad),
+            max_new_tokens=4, eos_id=-1,
+        )
+        assert r.tokens.shape == (1, 4)
+        assert np.isfinite(float(r.scores[0]))
