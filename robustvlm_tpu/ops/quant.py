@@ -20,6 +20,18 @@ commutes with the contraction) and keeps the weight operand int8 all the
 way to the MXU feed. Relative logits error on Gaussian weights is ~0.3%
 (tests/test_quant.py pins it).
 
+int4 (weight-only, group-wise) halves the bytes again. XLA's native `s4`
+dtype stores one element PER BYTE on this backend (measured:
+jnp.arange(8, dtype=jnp.int4).nbytes == 8), so the TPU-honest layout is
+manual packing: two 4-bit codes per uint8 byte along the contraction
+axis, with per-group fp32 scales (group_size rows of K share one scale —
+per-column int4 alone is too coarse). The unpack (mask/shift/bias) and
+the group scale are elementwise producers of the dot: XLA streams the
+packed bytes from HBM and widens in VMEM, same fusion contract as int8.
+Unlike int8's post-dot scale, a group-wise scale does NOT commute with
+the contraction, so the scale multiplies the widened weight tile
+pre-dot — still one big MXU dot per matmul.
+
 This is a CAPABILITY BEYOND the reference (which serves fp16 via HF
 llava/serve/model_worker.py): quantization only touches generation —
 attacks and training always run the full-precision path (int8 storage is
@@ -47,7 +59,32 @@ class QuantizedWeight(NamedTuple):
     s: jax.Array  # fp32 (..., 1, N) per-output-channel scale
 
 
-WeightLike = Union[jax.Array, QuantizedWeight]
+class PackedQ4Weight(NamedTuple):
+    """Two int4 codes per uint8 byte, packed along the contraction axis,
+    with per-group fp32 scales.
+
+    p: uint8 (..., K//2, N) — byte b holds row b (low nibble) and row
+       b + K//2 (high nibble), each a biased code in [1, 15]
+       (code - 8 ∈ [-7, 7]). HALF-SPLIT pairing, not adjacent-row
+       interleave, on purpose: the consuming matmul then decomposes into
+       x_lo @ W_lo + x_hi @ W_hi where each half is a pure elementwise
+       decode (mask/shift/bias/scale) of `p` — no stack, no interleaving
+       reshape — so XLA fuses the decode into the dot's operand load and
+       the HBM traffic is the packed bytes. (Measured on v5e: the
+       adjacent-row interleave decode compiled to a gather-like monster,
+       296 ms/step vs int8's 10.2 — the half-split form is what restores
+       fusion.)
+    s: fp32 (..., K//G, 1, N) — one scale per G contiguous rows of K per
+       output column; K//2 is always a multiple of G so each half maps to
+       whole groups. G is derived from shapes (K // s.shape[-3]), so the
+       tuple stays a pure pytree of arrays (no static leaf to confuse jit).
+    """
+
+    p: jax.Array
+    s: jax.Array
+
+
+WeightLike = Union[jax.Array, QuantizedWeight, PackedQ4Weight]
 
 
 def quantize_q8(w: jax.Array, *, contract_axis: int = -2) -> QuantizedWeight:
@@ -62,24 +99,98 @@ def quantize_q8(w: jax.Array, *, contract_axis: int = -2) -> QuantizedWeight:
     return QuantizedWeight(q=q, s=s)
 
 
-def dequantize(w: QuantizedWeight, dtype=jnp.float32) -> jax.Array:
+def quantize_q4(
+    w: jax.Array, *, group_size: int = 128, contract_axis: int = -2
+) -> PackedQ4Weight:
+    """Symmetric group-wise int4: G contiguous rows of the contraction
+    axis share one per-output-column scale s = max|w| / 7; codes are
+    clipped to [-7, 7] and stored biased (+8) two-per-byte. Packing is
+    along K, so only contract_axis == -2 layouts are supported (every LM
+    matmul weight in this repo is (..., K, N))."""
+    if contract_axis not in (-2, w.ndim - 2):
+        raise ValueError("quantize_q4 packs along axis -2 only")
+    K, N = w.shape[-2], w.shape[-1]
+    if K % 2:
+        raise ValueError(f"contraction dim must be even to pack, got {K}")
+    # each half must cover whole groups (the split-dot decode applies the
+    # group scales per half): g divides K//2
+    g = min(group_size, K // 2)
+    if (K // 2) % g:
+        raise ValueError(
+            f"group_size {g} must divide K/2={K // 2} (half-split packing)"
+        )
+    wf = w.astype(jnp.float32)
+    wg = wf.reshape(w.shape[:-2] + (K // g, g, N))
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 7.0  # (..., K//g, 1, N)
+    q = jnp.clip(jnp.round(wg / s), -7, 7).astype(jnp.int8)
+    b = (q.reshape(w.shape) + 8).astype(jnp.uint8)  # codes in [1, 15]
+    lo, hi = b[..., : K // 2, :], b[..., K // 2:, :]
+    return PackedQ4Weight(p=lo | (hi << 4), s=s)
+
+
+def _decode_q4_halves(w: PackedQ4Weight, dtype):
+    """Decode the two K-halves to (..., K//2, N) scaled weights. Each half
+    is mask/shift/bias/group-scale — pure elementwise on w.p plus free
+    row-major reshapes, i.e. a fusable producer of a dot operand."""
+    p = w.p
+    Kh, N = p.shape[-2], p.shape[-1]
+    ng = w.s.shape[-3]
+    ngh, g = ng // 2, (Kh * 2) // ng
+    s_lo = w.s[..., :ngh, :, :]
+    s_hi = w.s[..., ngh:, :, :]
+    out = []
+    for nib, s in ((p & jnp.uint8(0x0F), s_lo), (p >> jnp.uint8(4), s_hi)):
+        q = nib.astype(jnp.int8) - 8
+        qg = q.reshape(p.shape[:-2] + (ngh, g, N))
+        out.append(
+            (qg.astype(jnp.float32) * s)
+            .reshape(p.shape[:-2] + (Kh, N)).astype(dtype)
+        )
+    return out[0], out[1]
+
+
+def _unpack_q4(w: PackedQ4Weight, dtype) -> jax.Array:
+    lo, hi = _decode_q4_halves(w, dtype)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def dequantize(w, dtype=jnp.float32) -> jax.Array:
+    if isinstance(w, PackedQ4Weight):
+        return _unpack_q4(w, dtype)
     return (w.q.astype(jnp.float32) * w.s).astype(dtype)
 
 
 def qmatmul(x: jax.Array, w: WeightLike) -> jax.Array:
     """x @ w for a plain array (cast to x.dtype, the existing _block
-    convention) or a QuantizedWeight (int8 HBM read, post-dot scale)."""
+    convention), a QuantizedWeight (int8 HBM read, post-dot scale), or a
+    PackedQ4Weight (packed-nibble HBM read, pre-dot group scale)."""
     if isinstance(w, QuantizedWeight):
         y = x @ w.q.astype(x.dtype)
         return y * w.s.astype(x.dtype)
+    if isinstance(w, PackedQ4Weight):
+        # split dot: x_lo @ W_lo + x_hi @ W_hi — each operand a fused
+        # elementwise decode of the packed bytes (see PackedQ4Weight)
+        lo, hi = _decode_q4_halves(w, x.dtype)
+        kh = lo.shape[-2]
+        return x[..., :kh] @ lo + x[..., kh:] @ hi
     return x @ w.astype(x.dtype)
 
 
 def _is_leaf(x: Any) -> bool:
-    return isinstance(x, QuantizedWeight)
+    return isinstance(x, (QuantizedWeight, PackedQ4Weight))
 
 
-def quantize_lm_blocks(block_params, *, min_size: int = 1 << 16):
+def _quantize_one(a: jax.Array, bits: int, group_size: int):
+    if bits == 8:
+        return quantize_q8(a, contract_axis=-2)
+    if bits == 4:
+        return quantize_q4(a, group_size=group_size, contract_axis=-2)
+    raise ValueError(f"bits must be 8 or 4, got {bits}")
+
+
+def quantize_lm_blocks(block_params, *, min_size: int = 1 << 16,
+                       bits: int = 8, group_size: int = 128):
     """Quantize the matmul weights of a decoder block tree — the leaves
     under the 'attn' / 'mlp' groups (llama: wq/wk/wv/wo, w_gate/w_up/
     w_down; mpt: wqkv/out_w, up_w/down_w) — selected BY KEY, not by shape:
@@ -91,14 +202,15 @@ def quantize_lm_blocks(block_params, *, min_size: int = 1 << 16):
     per-output-channel (last) axis either way."""
     if isinstance(block_params, (tuple, list)):
         return type(block_params)(
-            quantize_lm_blocks(bp, min_size=min_size)
+            quantize_lm_blocks(bp, min_size=min_size, bits=bits,
+                               group_size=group_size)
             for bp in block_params
         )
 
     def one(name, a):
         if name.endswith("_b") or a.size < min_size:
             return a
-        return quantize_q8(a, contract_axis=-2)
+        return _quantize_one(a, bits, group_size)
 
     out = dict(block_params)
     for grp in ("attn", "mlp"):
@@ -112,27 +224,33 @@ quantize_llama_blocks = quantize_lm_blocks
 
 
 def quantize_llama_decode_params(
-    params, *, quantize_lm_head: bool = True, min_size: int = 1 << 16
+    params, *, quantize_lm_head: bool = True, min_size: int = 1 << 16,
+    bits: int = 8, group_size: int = 128
 ):
     """The decode-serving layout: quantize the LM block weights (stacked
     'llama.blocks' / 'mpt.blocks' and/or unstacked 'layers') and
     optionally the llama lm_head (dim x vocab, 262 MB bf16 at 7B).
     tok_embedding stays fp (decode gathers one row per step; MPT's tied
     lm_head therefore also stays fp); the vision tower stays fp
-    (prefill-only)."""
+    (prefill-only). bits=8 is the default serving recipe; bits=4 packs
+    two codes per byte with `group_size`-row scales (halves HBM again at
+    ~4x the int8 quantization error — tests/test_quant.py pins both)."""
     out = dict(params)
     for fam in ("llama", "mpt"):
         if fam not in out:
             continue
         lm = dict(out[fam])
         if "blocks" in lm:
-            lm["blocks"] = quantize_lm_blocks(lm["blocks"], min_size=min_size)
+            lm["blocks"] = quantize_lm_blocks(
+                lm["blocks"], min_size=min_size, bits=bits,
+                group_size=group_size)
         if fam == "llama" and quantize_lm_head and "lm_head" in lm:
-            lm["lm_head"] = quantize_q8(lm["lm_head"])
+            lm["lm_head"] = _quantize_one(lm["lm_head"], bits, group_size)
         out[fam] = lm
     if "layers" in out:
         out["layers"] = tuple(
-            quantize_lm_blocks(bp, min_size=min_size)
+            quantize_lm_blocks(bp, min_size=min_size, bits=bits,
+                               group_size=group_size)
             for bp in out["layers"]
         )
     return out

@@ -337,10 +337,15 @@ def main(argv=None):
                    help="micro-batch cap; requests pad to this one "
                         "compiled shape")
     p.add_argument("--quantize-decode", action="store_true",
-                   help="serve generation from int8 weight-only LM blocks "
-                        "(ops/quant.py): decode is HBM-bandwidth-bound, so "
-                        "halving the weight bytes ~halves the step time; "
-                        "quantized lazily on first generate")
+                   help="serve generation from weight-only quantized LM "
+                        "blocks (ops/quant.py): decode is HBM-bandwidth-"
+                        "bound, so halving the weight bytes ~halves the "
+                        "step time; quantized lazily on first generate")
+    p.add_argument("--quantize-bits", type=int, default=8, choices=(8, 4),
+                   help="weight-only width for --quantize-decode: 8 = "
+                        "per-channel int8 (default), 4 = packed int4 with "
+                        "group-128 scales (half the HBM bytes again, "
+                        "coarser logits)")
     args = p.parse_args(argv)
 
     from robustvlm_tpu.vlm_eval.run_evaluation import build_eval_model
@@ -352,7 +357,7 @@ def main(argv=None):
                 f"--quantize-decode is not supported by the "
                 f"'{args.model}' adapter (llava only)"
             )
-        model.quantize_decode = True
+        model.quantize_decode = args.quantize_bits
     size = model.cfg.vision.image_size
     worker = ModelWorker(
         model, f"{args.model}-{args.model_size}",

@@ -120,14 +120,16 @@ class LlavaEvalModel:
         self.remat = remat
         self.max_post_len = max_post_len
         self._cached: Optional[_CachedInputs] = None
-        # quantize_decode: serve generation from int8 weight-only LM blocks
-        # (ops/quant.py — decode is HBM-bandwidth-bound, int8 halves the
-        # bytes/step). Quantized LAZILY on first generate so attack-only use
-        # pays nothing; the fp tree is kept for the loss/attack path (the
-        # threat model is defined on the fp model). NOTE at 7B both trees
-        # don't fit one 16 GiB chip — a serving-only worker should instead
-        # pass an already-quantized tree as `params` (qmatmul is transparent)
-        # or shard fsdp over 2 chips.
+        # quantize_decode: serve generation from weight-only quantized LM
+        # blocks (ops/quant.py — decode is HBM-bandwidth-bound, int8 halves
+        # the bytes/step, int4 halves them again). Truthy values select
+        # bits: True/8 -> int8, 4 -> packed int4 group-128. Quantized
+        # LAZILY on first generate so attack-only use pays nothing; the fp
+        # tree is kept for the loss/attack path (the threat model is
+        # defined on the fp model). NOTE at 7B both trees don't fit one
+        # 16 GiB chip — a serving-only worker should instead pass an
+        # already-quantized tree as `params` (qmatmul is transparent) or
+        # shard fsdp over 2 chips.
         self.quantize_decode = quantize_decode
         self._decode_params = None
 
@@ -221,7 +223,11 @@ class LlavaEvalModel:
                     quantize_llama_decode_params,
                 )
 
-                self._decode_params = quantize_llama_decode_params(self.params)
+                bits = int(self.quantize_decode)
+                bits = 8 if bits == 1 else bits  # True -> int8
+                self._decode_params = quantize_llama_decode_params(
+                    self.params, bits=bits
+                )
             gen_params = self._decode_params
         pf, df = make_llava_decode_fns(
             gen_params, self.cfg, x01, jnp.asarray([pre_ids] * x01.shape[0]),

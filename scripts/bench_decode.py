@@ -47,7 +47,8 @@ HF fp16 without a throughput number); the roofline above is the yardstick.
 Usage: python scripts/bench_decode.py          (needs the TPU)
        BENCH_DECODE_BATCHES=1,2,4 BENCH_DECODE_NEW=128 to steer;
        BENCH_DECODE_Q8=1 serves the LM int8 weight-only (ops/quant.py) —
-       halving the weight bytes the roofline says dominate the step.
+       halving the weight bytes the roofline says dominate the step;
+       BENCH_DECODE_Q4=1 serves packed int4 group-128 (halves them again).
 Prints one JSON line per batch point; the last line carries the sweep
 summary. CPU parity of the unstacked fns vs the stacked production path:
 tests/test_bench_decode.py.
@@ -308,16 +309,27 @@ def main():
     cfg = LLAVA_CONFIGS["llava-1.5-7b"]
     params = _init_bf16_on_device(cfg)
 
-    q8 = os.environ.get("BENCH_DECODE_Q8") == "1"
-    if q8:
+    bits = 0
+    if os.environ.get("BENCH_DECODE_Q4") == "1":
+        bits = 4
+    elif os.environ.get("BENCH_DECODE_Q8") == "1":
+        bits = 8
+    if bits:
         # PROGRESSIVE per-layer quantization: quantizing the whole 13.16 GiB
         # bf16 tree at once would transiently hold bf16 + int8 (19.8 GiB,
         # OOM on the 16 GiB v5e); converting layer-by-layer and dropping
-        # each bf16 layer as its int8 replacement lands peaks at ~13.4 GiB
-        # and ends at ~6.9 GiB resident.
-        from robustvlm_tpu.ops.quant import quantize_llama_blocks, quantize_q8
+        # each bf16 layer as its replacement lands peaks at ~13.4 GiB
+        # and ends at ~6.9 GiB (int8) / ~3.8 GiB (int4) resident.
+        from functools import partial
 
-        qz = jax.jit(quantize_llama_blocks)
+        from robustvlm_tpu.ops.quant import (
+            quantize_lm_blocks,
+            quantize_q4,
+            quantize_q8,
+        )
+
+        qz = jax.jit(partial(quantize_lm_blocks, bits=bits))
+        q_head = jax.jit(quantize_q4 if bits == 4 else quantize_q8)
         layers = list(params["layers"])
         params["layers"] = None
         for i in range(len(layers)):
@@ -326,13 +338,13 @@ def main():
             layers[i] = ql  # drops the only bf16 ref -> freed on device
         params["layers"] = tuple(layers)
         llama = dict(params["llama"])
-        llama["lm_head"] = jax.jit(quantize_q8)(llama["lm_head"])
+        llama["lm_head"] = q_head(llama["lm_head"])
         params["llama"] = llama
 
     n_bytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(params))
     print(
         f"params resident: {n_bytes / 2**30:.2f} GiB"
-        + (" (int8 weight-only LM)" if q8 else " bf16"),
+        + (f" (int{bits} weight-only LM)" if bits else " bf16"),
         file=sys.stderr,
     )
 
@@ -346,9 +358,10 @@ def main():
         print(f"bandwidth anchor failed: {e!s:.200}", file=sys.stderr)
         bw = None
     t_avg = T_PRE + cfg.n_image_tokens + T_QUESTION + max_new // 2
-    step_gb = _decode_step_bytes(
-        cfg, t_avg, weight_bytes=1.0 if q8 else 2.0
-    ) / 1e9
+    # bytes/element the quantized weight stream actually moves: int8 = 1,
+    # int4 = 0.5 packed + fp32 scale per 128-row group (4/128)
+    wb = {0: 2.0, 8: 1.0, 4: 0.5 + 4.0 / 128}[bits]
+    step_gb = _decode_step_bytes(cfg, t_avg, weight_bytes=wb) / 1e9
     # effective streaming bandwidth implied by the measured batch-1 step:
     # decode reads are ~all-read (weights + KV), which streams FASTER than
     # the read+write copy chain the anchor measures (measured: q8 b1 does
@@ -362,7 +375,7 @@ def main():
         "metric": "llava7b_greedy_decode_tokens_per_sec",
         "value": best["tokens_per_sec"] if best else None,
         "unit": "tokens/s/chip",
-        "weights": "int8" if q8 else "bf16",
+        "weights": f"int{bits}" if bits else "bf16",
         "best_batch": best["batch"] if best else None,
         "sweep": points,
         "roofline": {

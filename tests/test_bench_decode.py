@@ -107,17 +107,21 @@ def test_unstacked_decode_quantized_runs():
     post_np, n_pad = left_pad([[7, 8, 9]])
     post, n_pad = jnp.asarray(post_np), jnp.asarray(n_pad)
 
+    params_q4 = quantize_llama_decode_params(
+        params_u, min_size=0, bits=4, group_size=32
+    )
     res = {}
-    for name, p in [("fp", params_u), ("q8", params_q)]:
+    for name, p in [("fp", params_u), ("q8", params_q), ("q4", params_q4)]:
         pf, df = make_unstacked_decode_fns(
             p, CFG, pixels, pre, max_total_len=7, compute_dtype=jnp.float32
         )
         res[name] = greedy_generate(
             pf, df, post, n_pad, max_new_tokens=4, eos_id=-1
         )
-    assert res["q8"].tokens.shape == (1, 4)
-    assert np.isfinite(float(res["q8"].scores[0]))
-    assert abs(float(res["q8"].scores[0] - res["fp"].scores[0])) < 2.0
+    for q in ("q8", "q4"):
+        assert res[q].tokens.shape == (1, 4)
+        assert np.isfinite(float(res[q].scores[0]))
+        assert abs(float(res[q].scores[0] - res["fp"].scores[0])) < 2.0
 
 
 def test_unstacked_prefill_logits_match():

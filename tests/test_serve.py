@@ -345,6 +345,40 @@ class TestQuantizedServing:
         loss = model(x)
         assert np.isfinite(float(loss[0]))
 
+    def test_quantize_decode_bits4(self):
+        """quantize_decode=4 (--quantize-bits 4): generation runs off a
+        packed-int4 tree; the fp tree stays fp."""
+        from robustvlm_tpu.models.llava.model import (
+            LLAVA_CONFIGS,
+            init_llava_params,
+        )
+        from robustvlm_tpu.ops.quant import PackedQ4Weight
+        from robustvlm_tpu.vlm_eval.eval_models import (
+            LlavaEvalModel,
+            WordTokenizer,
+        )
+
+        cfg = LLAVA_CONFIGS["test-tiny"]
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        model = LlavaEvalModel(
+            params, cfg, WordTokenizer(cfg.llama.vocab_size),
+            compute_dtype=jnp.float32, max_post_len=16,
+            quantize_decode=4,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+        )
+        out = model.get_outputs(
+            x, [model.get_caption_prompt()], max_new_tokens=3
+        )
+        assert len(out) == 1 and isinstance(out[0], str)
+        assert isinstance(
+            model._decode_params["llama"]["lm_head"], PackedQ4Weight
+        )
+        assert not isinstance(
+            model.params["llama"]["lm_head"], PackedQ4Weight
+        )
+
     def test_worker_cli_rejects_unsupported_adapter(self):
         from robustvlm_tpu.serve.model_worker import main
 
