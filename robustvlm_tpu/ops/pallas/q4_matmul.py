@@ -1,0 +1,143 @@
+"""Packed-int4 weight matmul as a Pallas TPU kernel — the decode hot op.
+
+Why a kernel: weight-only int4 decode (ops/quant.py PackedQ4Weight) is
+HBM-bandwidth-bound — the step should cost (packed bytes)/(stream rate).
+XLA fuses a plain int8→bf16 convert into a dot's operand load (measured:
+the int8 path streams 684 GB/s), but it will NOT fuse the int4 decode
+chain (mask/shift/bias/group-scale): it materializes the decoded bf16
+halves in HBM every step. Measured on v5e LLaVA-7B decode b1: 50.2 ms/step
+for the XLA half-split form (~35 GB moved ≈ packed read + decoded write +
+decoded read) vs int8's 10.2 ms — the 4-bit storage win inverted into a
+2.8x slowdown. This kernel restores the roofline: packed bytes stream
+HBM→VMEM once, the VPU unpacks and scales in VMEM, the MXU consumes the
+decoded tile directly.
+
+Design (shapes follow ops/quant.PackedQ4Weight's half-split layout):
+- Grid over output-column strips only: (N // bn,). The activation is a
+  decode-sized (B≤32, K) matvec — it rides whole in VMEM across all grid
+  steps (two (B, K/2) halves, ≤ a few hundred KB), so K needs no blocking
+  and there is no accumulation carry.
+- Each program loads the packed strip p (K/2, bn) uint8 — the only
+  HBM-proportional traffic — plus the two (K/(2G), bn) scale strips,
+  decodes each half (nibble → int8-8 → bf16, × group scale broadcast over
+  G rows) and issues two MXU dots into an fp32 accumulator.
+- bn is chosen per shape: the largest of 512/384/256/128 dividing N that
+  also keeps the decoded bf16 strip under a ~4 MB VMEM budget (K/2 rows ×
+  bn cols × 2 B, double-buffered against the next strip's DMA).
+- Scales multiply in bf16 inside the kernel (the XLA path keeps them
+  fp32): two extra bf16 roundings ≈ 0.2-0.4% rel — far under int4's ~7%
+  inherent quantization error; tests pin the kernel against the XLA
+  decode path at 1e-2 rel.
+
+Used automatically by ops.quant.qmatmul for decode-shaped operands on TPU
+(matvec-like x, 2-D weight, N divisible by a supported strip); everything
+else keeps the XLA path. CPU tests run interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+_BN_CANDIDATES = (512, 384, 256, 128)
+_DECODED_VMEM_BUDGET = 4 * 2**20  # bytes of decoded bf16 strip per program
+
+
+def _pick_bn(kh: int, n: int) -> Optional[int]:
+    for bn in _BN_CANDIDATES:
+        if n % bn == 0 and kh * bn * 2 <= _DECODED_VMEM_BUDGET:
+            return bn
+    return None
+
+
+def _kernel(xl_ref, xh_ref, p_ref, sl_ref, sh_ref, o_ref):
+    p = p_ref[:]                       # (Kh, bn) uint8
+    kh, bn = p.shape
+    ngh = sl_ref.shape[0]
+    g = kh // ngh
+
+    def half(nib, s_ref):
+        q = (nib.astype(jnp.int8) - 8).astype(jnp.bfloat16)
+        s = s_ref[:].astype(jnp.bfloat16)          # (ngh, bn)
+        qg = q.reshape(ngh, g, bn) * s[:, None, :]
+        return qg.reshape(kh, bn)
+
+    acc = jnp.dot(
+        xl_ref[:], half(p & jnp.uint8(0x0F), sl_ref),
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + jnp.dot(
+        xh_ref[:], half(p >> jnp.uint8(4), sh_ref),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def _q4_matmul_2d(x, p, s, *, bn: int, interpret: bool = False):
+    """x (B, K) @ packed (K/2, N) -> (B, N) in x.dtype. B must be a
+    multiple of 8 (callers pad)."""
+    b, k = x.shape
+    kh, n = p.shape
+    ng = s.shape[0]
+    ngh = ng // 2
+    xl = x[:, : k // 2].astype(jnp.bfloat16)
+    xh = x[:, k // 2:].astype(jnp.bfloat16)
+    s2 = s.reshape(ng, n)  # (ng, 1, N) -> (ng, N)
+    sl, sh = s2[:ngh], s2[ngh:]
+    grid = (n // bn,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, kh), lambda i: (0, 0)),
+            pl.BlockSpec((b, kh), lambda i: (0, 0)),
+            pl.BlockSpec((kh, bn), lambda i: (0, i)),
+            pl.BlockSpec((ngh, bn), lambda i: (0, i)),
+            pl.BlockSpec((ngh, bn), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((b, bn), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
+        interpret=interpret,
+    )(xl, xh, p, sl, sh)
+    return out
+
+
+def q4_matmul(x: jax.Array, p: jax.Array, s: jax.Array,
+              *, interpret: bool = False) -> Optional[jax.Array]:
+    """Kernel-path x @ W for a half-split PackedQ4Weight's (p, s) arrays.
+
+    Accepts x (..., K) with a small flattened batch (decode shapes) and a
+    2-D packed weight. Returns None when the shape isn't kernel-eligible
+    (callers fall back to the XLA decode path): weights with stacked
+    leading dims, N without a supported strip size, or a batch too large
+    to hold the activation resident in VMEM.
+    """
+    if p.ndim != 2:
+        return None
+    kh, n = p.shape
+    k = kh * 2
+    if x.shape[-1] != k or k % 2:
+        return None
+    lead = x.shape[:-1]
+    b = 1
+    for d in lead:
+        b *= d
+    if b > 32:  # prefill-sized batches: XLA's materialized path amortizes
+        return None
+    bn = _pick_bn(kh, n)
+    if bn is None:
+        return None
+    xb = x.reshape(b, k)
+    pad = (-b) % 8
+    if pad:
+        xb = jnp.pad(xb, ((0, pad), (0, 0)))
+    out = _q4_matmul_2d(xb, p, s, bn=bn, interpret=interpret)
+    if pad:
+        out = out[:b]
+    return out.reshape(lead + (n,))

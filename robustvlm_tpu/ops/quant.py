@@ -169,8 +169,19 @@ def qmatmul(x: jax.Array, w: WeightLike) -> jax.Array:
         y = x @ w.q.astype(x.dtype)
         return y * w.s.astype(x.dtype)
     if isinstance(w, PackedQ4Weight):
-        # split dot: x_lo @ W_lo + x_hi @ W_hi — each operand a fused
-        # elementwise decode of the packed bytes (see PackedQ4Weight)
+        if jax.default_backend() == "tpu":
+            # decode-shaped matvecs take the Pallas kernel: XLA refuses to
+            # fuse the nibble decode into the dot and materializes the
+            # bf16 weights in HBM every step (measured 50 ms vs the
+            # kernel's streamed packed read; ops/pallas/q4_matmul.py)
+            from robustvlm_tpu.ops.pallas.q4_matmul import q4_matmul
+
+            y = q4_matmul(x, w.p, w.s)
+            if y is not None:
+                return y
+        # XLA fallback (CPU, prefill-sized batches, odd shapes): split dot
+        # x_lo @ W_lo + x_hi @ W_hi — each operand an elementwise decode
+        # of the packed bytes (see PackedQ4Weight)
         lo, hi = _decode_q4_halves(w, x.dtype)
         kh = lo.shape[-2]
         return x[..., :kh] @ lo + x[..., kh:] @ hi
