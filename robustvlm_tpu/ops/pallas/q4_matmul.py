@@ -22,8 +22,10 @@ Design (shapes follow ops/quant.PackedQ4Weight's half-split layout):
   decodes each half (nibble → int8-8 → bf16, × group scale broadcast over
   G rows) and issues two MXU dots into an fp32 accumulator.
 - bn is chosen per shape: the largest of 512/384/256/128 dividing N that
-  also keeps the decoded bf16 strip under a ~4 MB VMEM budget (K/2 rows ×
-  bn cols × 2 B, double-buffered against the next strip's DMA).
+  keeps the TWO decoded bf16 halves (2 × K/2 rows × bn cols × 2 B — the
+  worst case has both live across the two dots) under an 8 MB VMEM
+  budget; the packed strip's double-buffered DMA and the activation add
+  a few MB more, still well under the ~16 MB/core VMEM.
 - Scales multiply in bf16 inside the kernel (the XLA path keeps them
   fp32): two extra bf16 roundings ≈ 0.2-0.4% rel — far under int4's ~7%
   inherent quantization error; tests pin the kernel against the XLA
@@ -45,12 +47,18 @@ from jax.experimental import pallas as pl
 
 
 _BN_CANDIDATES = (512, 384, 256, 128)
-_DECODED_VMEM_BUDGET = 4 * 2**20  # bytes of decoded bf16 strip per program
+# bytes of decoded bf16 weight tiles per program: the kernel materializes
+# TWO (kh, bn) decoded halves (worst case both live across the two dots);
+# the packed uint8 strip (kh*bn/2, double-buffered against the next grid
+# step's DMA), the (B, K) activation halves and the fp32 accumulator add
+# at most ~3 MB more at the production shapes — total well under the
+# ~16 MB/core VMEM.
+_DECODED_VMEM_BUDGET = 8 * 2**20
 
 
 def _pick_bn(kh: int, n: int) -> Optional[int]:
     for bn in _BN_CANDIDATES:
-        if n % bn == 0 and kh * bn * 2 <= _DECODED_VMEM_BUDGET:
+        if n % bn == 0 and 2 * (kh * bn * 2) <= _DECODED_VMEM_BUDGET:
             return bn
     return None
 

@@ -43,6 +43,7 @@ nothing measurable.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple, Union
 
 import jax
@@ -167,7 +168,12 @@ def qmatmul(x: jax.Array, w: WeightLike) -> jax.Array:
     PackedQ4Weight (packed-nibble HBM read, pre-dot group scale)."""
     if isinstance(w, QuantizedWeight):
         y = x @ w.q.astype(x.dtype)
-        return y * w.s.astype(x.dtype)
+        # scale in fp32 and cast ONCE: an s.astype(bf16) pre-cast adds a
+        # second bf16 rounding on every output element (~0.4% — the same
+        # order as int8's own ~0.3% quantization error, doubling logits
+        # noise for free). Elementwise on (B, T, N): negligible cost on
+        # the HBM-bound decode step.
+        return (y.astype(jnp.float32) * w.s).astype(x.dtype)
     if isinstance(w, PackedQ4Weight):
         if jax.default_backend() == "tpu":
             # decode-shaped matvecs take the Pallas kernel: XLA refuses to
@@ -265,3 +271,65 @@ def quantize_llama_decode_params(
             for bp in out["layers"]
         )
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_quantizer(bits: int, group_size: int):
+    # jitted so the fp32 intermediates FUSE: an eager quantize of a stacked
+    # 7B mlp leaf (2.69 GiB bf16) would materialize a 5.4 GiB fp32 copy and
+    # OOM the very serving path this exists to fit
+    return jax.jit(
+        functools.partial(_quantize_one, bits=bits, group_size=group_size)
+    )
+
+
+def quantize_decode_params_inplace(
+    params, *, quantize_lm_head: bool = True, min_size: int = 1 << 16,
+    bits: int = 8, group_size: int = 128
+):
+    """SERVING-ONLY progressive quantization: same leaf selection as
+    quantize_llama_decode_params, but MUTATES `params` leaf by leaf,
+    syncing after each replacement so every bf16 original is freed before
+    the next leaf quantizes. Peak device memory ≈ the fp tree + ONE
+    quantized leaf — vs the pure-functional path's fp + full quantized
+    trees, which at LLaVA-7B is 19.8 GiB and OOMs a 16 GiB v5e (CLAUDE.md,
+    measured; scripts/bench_decode.py uses the same per-layer discipline).
+
+    The fp weights are GONE afterwards: attack/loss forwards on this tree
+    now run quantized math, which violates the fp threat-model contract —
+    callers must be serving-only processes (serve/model_worker.py
+    --quantize-decode goes through LlavaEvalModel.quantize_for_serving,
+    which also disables the loss path). Returns `params` for convenience.
+
+    Only frees memory if the nested dicts in `params` hold the only device
+    references to the fp leaves (true for all init/import layouts here).
+    """
+    qz = _jitted_quantizer(int(bits), int(group_size))
+
+    def consume(grp: dict) -> None:
+        for k in list(grp):
+            v = grp[k]
+            if k.endswith("_b") or v.size < min_size:
+                continue
+            q = qz(v)
+            jax.block_until_ready(q)
+            grp[k] = q  # drops the only bf16 ref -> freed on device
+
+    for fam in ("llama", "mpt"):
+        lm = params.get(fam)
+        if not isinstance(lm, dict):
+            continue
+        blocks = lm.get("blocks")
+        if isinstance(blocks, dict):
+            for g in ("attn", "mlp"):
+                if g in blocks:
+                    consume(blocks[g])
+        if fam == "llama" and quantize_lm_head and "lm_head" in lm:
+            q = qz(lm["lm_head"])
+            jax.block_until_ready(q)
+            lm["lm_head"] = q
+    for bp in params.get("layers") or ():
+        for g in ("attn", "mlp"):
+            if g in bp:
+                consume(bp[g])
+    return params

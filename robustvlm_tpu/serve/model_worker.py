@@ -340,7 +340,10 @@ def main(argv=None):
                    help="serve generation from weight-only quantized LM "
                         "blocks (ops/quant.py): decode is HBM-bandwidth-"
                         "bound, so halving the weight bytes ~halves the "
-                        "step time; quantized lazily on first generate")
+                        "step time. Quantizes at STARTUP, progressively "
+                        "per leaf, IN PLACE — the fp tree is dropped "
+                        "(serving-only: at 7B fp + quantized trees cannot "
+                        "coexist on one 16 GiB chip)")
     p.add_argument("--quantize-bits", type=int, default=8, choices=(8, 4),
                    help="weight-only width for --quantize-decode: 8 = "
                         "per-channel int8 (default), 4 = packed int4 with "
@@ -352,12 +355,15 @@ def main(argv=None):
 
     model = build_eval_model(args, "half")
     if args.quantize_decode:
-        if not hasattr(model, "quantize_decode"):
+        if not hasattr(model, "quantize_for_serving"):
             raise SystemExit(
                 f"--quantize-decode is not supported by the "
                 f"'{args.model}' adapter (llava only)"
             )
-        model.quantize_decode = args.quantize_bits
+        # startup, in place, progressive: a serving worker never runs the
+        # attack/loss path, so dropping the fp tree is free — and at 7B
+        # it is REQUIRED (fp + quantized = 19.8 GiB > one v5e)
+        model.quantize_for_serving(args.quantize_bits)
     size = model.cfg.vision.image_size
     worker = ModelWorker(
         model, f"{args.model}-{args.model_size}",

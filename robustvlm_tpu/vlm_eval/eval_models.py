@@ -127,11 +127,12 @@ class LlavaEvalModel:
         # LAZILY on first generate so attack-only use pays nothing; the fp
         # tree is kept for the loss/attack path (the threat model is
         # defined on the fp model). NOTE at 7B both trees don't fit one
-        # 16 GiB chip — a serving-only worker should instead pass an
-        # already-quantized tree as `params` (qmatmul is transparent) or
-        # shard fsdp over 2 chips.
+        # 16 GiB chip — a serving-only worker must call
+        # quantize_for_serving() instead (progressive, in place, drops the
+        # fp tree) or shard fsdp over 2 chips.
         self.quantize_decode = quantize_decode
-        self._decode_params = None
+        self._decode_params = None  # (bits, tree) once built
+        self._fp_dropped = False
 
         def loss_fn(p, x, pre, post, labels, mask):
             return llava_per_sample_loss(
@@ -195,13 +196,40 @@ class LlavaEvalModel:
             label_mask=jnp.asarray(mask_arr),
         )
 
+    def quantize_for_serving(self, bits: int = 8) -> None:
+        """SERVING-ONLY: progressively quantize the LM decode weights IN
+        PLACE (ops/quant.quantize_decode_params_inplace) — peak HBM stays
+        ~the fp tree (the lazy quantize_decode path holds fp + quantized
+        trees, 19.8 GiB at 7B -> OOM on one 16 GiB v5e). The fp weights
+        are GONE afterwards, so the loss/attack path is disabled: the
+        threat model is defined on the fp model and quantized gradients
+        would silently misreport it. serve/model_worker.py calls this at
+        startup for --quantize-decode."""
+        from robustvlm_tpu.ops.quant import quantize_decode_params_inplace
+
+        bits = 8 if int(bits) == 1 else int(bits)
+        quantize_decode_params_inplace(self.params, bits=bits)
+        self.quantize_decode = bits
+        self._decode_params = (bits, self.params)
+        self._fp_dropped = True
+
+    def _require_fp(self):
+        if self._fp_dropped:
+            raise RuntimeError(
+                "loss/attack path disabled: quantize_for_serving() dropped "
+                "the fp weights (serving-only mode); build a fresh model "
+                "for attacks"
+            )
+
     @property
     def bound_args(self):
+        self._require_fp()
         c = self._cached
         assert c is not None, "call set_inputs first"
         return (self.params, c.pre, c.post, c.labels, c.label_mask)
 
     def __call__(self, x01: jax.Array) -> jax.Array:
+        self._require_fp()
         c = self._cached
         assert c is not None, "call set_inputs first"
         return self._loss(x01, c.pre, c.post, c.labels, c.label_mask)
@@ -218,17 +246,25 @@ class LlavaEvalModel:
         toks, n_pad = left_pad(post_seqs, self.tok.pad_token_id)
         gen_params = self.params
         if self.quantize_decode:
-            if self._decode_params is None:
+            bits = int(self.quantize_decode)
+            bits = 8 if bits == 1 else bits  # True -> int8
+            # cache keyed on the RESOLVED bits: changing quantize_decode
+            # after a generate (8 -> 4) must rebuild, not silently serve
+            # the stale width
+            if self._decode_params is None or self._decode_params[0] != bits:
+                if self._fp_dropped:
+                    raise RuntimeError(
+                        "cannot requantize to a different width after "
+                        "quantize_for_serving(): the fp weights are gone"
+                    )
                 from robustvlm_tpu.ops.quant import (
                     quantize_llama_decode_params,
                 )
 
-                bits = int(self.quantize_decode)
-                bits = 8 if bits == 1 else bits  # True -> int8
-                self._decode_params = quantize_llama_decode_params(
-                    self.params, bits=bits
+                self._decode_params = (
+                    bits, quantize_llama_decode_params(self.params, bits=bits)
                 )
-            gen_params = self._decode_params
+            gen_params = self._decode_params[1]
         pf, df = make_llava_decode_fns(
             gen_params, self.cfg, x01, jnp.asarray([pre_ids] * x01.shape[0]),
             max_total_len=toks.shape[1] + max_new_tokens,

@@ -240,14 +240,19 @@ def run_one(params, cfg, batch: int, max_new: int):
         # unstacked weights as HLO temps (17.04 of 15.75 GiB). Either way
         # the sweep must continue to the next batch point.
         msg = str(e)
-        oom = (
-            "RESOURCE_EXHAUSTED" in msg
-            or "Out of memory" in msg
-            or "remote_compile" in msg
-        )
+        # only a memory keyword earns an OOM verdict; a bare remote_compile
+        # HTTP 500 may equally be a lowering/kernel failure, and labeling
+        # it OOM would mask real regressions as expected memory limits
+        if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg \
+                or "Ran out of memory" in msg:
+            verdict = "OOM(compile)"
+        elif "remote_compile" in msg:
+            verdict = "remote_compile_error(possible OOM)"
+        else:
+            verdict = "error"
         out = {
             "batch": batch,
-            "hbm_verdict": "OOM(compile)" if oom else "error",
+            "hbm_verdict": verdict,
             "error": msg[:400],
         }
         print(json.dumps({"metric": "llava7b_greedy_decode", **out}))
@@ -315,31 +320,14 @@ def main():
     elif os.environ.get("BENCH_DECODE_Q8") == "1":
         bits = 8
     if bits:
-        # PROGRESSIVE per-layer quantization: quantizing the whole 13.16 GiB
-        # bf16 tree at once would transiently hold bf16 + int8 (19.8 GiB,
-        # OOM on the 16 GiB v5e); converting layer-by-layer and dropping
-        # each bf16 layer as its replacement lands peaks at ~13.4 GiB
-        # and ends at ~6.9 GiB (int8) / ~3.8 GiB (int4) resident.
-        from functools import partial
+        # PROGRESSIVE per-leaf quantization (the serving worker's path —
+        # ops/quant.quantize_decode_params_inplace): quantizing the whole
+        # 13.16 GiB bf16 tree at once would transiently hold bf16 + int8
+        # (19.8 GiB, OOM on the 16 GiB v5e); consuming leaf-by-leaf peaks
+        # at ~13.4 GiB and ends at ~6.9 GiB (int8) / ~3.8 GiB (int4).
+        from robustvlm_tpu.ops.quant import quantize_decode_params_inplace
 
-        from robustvlm_tpu.ops.quant import (
-            quantize_lm_blocks,
-            quantize_q4,
-            quantize_q8,
-        )
-
-        qz = jax.jit(partial(quantize_lm_blocks, bits=bits))
-        q_head = jax.jit(quantize_q4 if bits == 4 else quantize_q8)
-        layers = list(params["layers"])
-        params["layers"] = None
-        for i in range(len(layers)):
-            ql = qz(layers[i])
-            jax.block_until_ready(ql)
-            layers[i] = ql  # drops the only bf16 ref -> freed on device
-        params["layers"] = tuple(layers)
-        llama = dict(params["llama"])
-        llama["lm_head"] = q_head(llama["lm_head"])
-        params["llama"] = llama
+        quantize_decode_params_inplace(params, bits=bits)
 
     n_bytes = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(params))
     print(

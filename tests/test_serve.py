@@ -336,9 +336,9 @@ class TestQuantizedServing:
             x, [model.get_caption_prompt()], max_new_tokens=3
         )
         assert len(out) == 1 and isinstance(out[0], str)
-        assert isinstance(
-            model._decode_params["llama"]["lm_head"], QuantizedWeight
-        )
+        bits, dtree = model._decode_params
+        assert bits == 8
+        assert isinstance(dtree["llama"]["lm_head"], QuantizedWeight)
         # fp loss path untouched by the quantized generation tree
         assert not isinstance(model.params["llama"]["lm_head"], QuantizedWeight)
         model.set_inputs([model.get_caption_prompt("a cat")])
@@ -372,12 +372,130 @@ class TestQuantizedServing:
             x, [model.get_caption_prompt()], max_new_tokens=3
         )
         assert len(out) == 1 and isinstance(out[0], str)
-        assert isinstance(
-            model._decode_params["llama"]["lm_head"], PackedQ4Weight
-        )
+        bits, dtree = model._decode_params
+        assert bits == 4
+        assert isinstance(dtree["llama"]["lm_head"], PackedQ4Weight)
         assert not isinstance(
             model.params["llama"]["lm_head"], PackedQ4Weight
         )
+
+    def test_quantize_decode_cache_keyed_on_bits(self):
+        """Changing quantize_decode after a generate (8 -> 4) rebuilds the
+        cached decode tree instead of silently serving the stale width."""
+        from robustvlm_tpu.models.llava.model import (
+            LLAVA_CONFIGS,
+            init_llava_params,
+        )
+        from robustvlm_tpu.ops.quant import PackedQ4Weight, QuantizedWeight
+        from robustvlm_tpu.vlm_eval.eval_models import (
+            LlavaEvalModel,
+            WordTokenizer,
+        )
+
+        cfg = LLAVA_CONFIGS["test-tiny"]
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        model = LlavaEvalModel(
+            params, cfg, WordTokenizer(cfg.llama.vocab_size),
+            compute_dtype=jnp.float32, max_post_len=16,
+            quantize_decode=True,
+        )
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+        )
+        model.get_outputs(x, [model.get_caption_prompt()], max_new_tokens=2)
+        assert isinstance(
+            model._decode_params[1]["llama"]["lm_head"], QuantizedWeight
+        )
+        model.quantize_decode = 4
+        model.get_outputs(x, [model.get_caption_prompt()], max_new_tokens=2)
+        assert isinstance(
+            model._decode_params[1]["llama"]["lm_head"], PackedQ4Weight
+        )
+
+    def test_quantize_for_serving_inplace_drops_fp(self):
+        """Serving-only mode: the fp tree is consumed in place (worker
+        startup path), generation runs, and the loss/attack surface raises
+        an actionable error instead of silently running quantized math."""
+        from robustvlm_tpu.models.llava.model import (
+            LLAVA_CONFIGS,
+            init_llava_params,
+        )
+        from robustvlm_tpu.ops.quant import QuantizedWeight
+        from robustvlm_tpu.vlm_eval.eval_models import (
+            LlavaEvalModel,
+            WordTokenizer,
+        )
+
+        cfg = LLAVA_CONFIGS["test-tiny"]
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        model = LlavaEvalModel(
+            params, cfg, WordTokenizer(cfg.llama.vocab_size),
+            compute_dtype=jnp.float32, max_post_len=16,
+        )
+        model.quantize_for_serving(8)
+        # mutated IN PLACE: the caller's tree and the model's are the same
+        # (tiny block leaves fall under the default min_size gate; the
+        # leaf-selection parity with the functional path is pinned by
+        # test_inplace_matches_functional_quantization at min_size=0)
+        assert isinstance(params["llama"]["lm_head"], QuantizedWeight)
+        # norms/embeddings stay fp
+        assert not isinstance(params["llama"]["tok_embedding"],
+                              QuantizedWeight)
+
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+        )
+        out = model.get_outputs(
+            x, [model.get_caption_prompt()], max_new_tokens=3
+        )
+        assert len(out) == 1 and isinstance(out[0], str)
+
+        model.set_inputs([model.get_caption_prompt("a cat")])
+        with pytest.raises(RuntimeError, match="serving-only"):
+            model(x)
+        with pytest.raises(RuntimeError, match="serving-only"):
+            _ = model.bound_args
+        with pytest.raises(RuntimeError, match="fp weights are gone"):
+            model.quantize_decode = 4
+            model.get_outputs(
+                x, [model.get_caption_prompt()], max_new_tokens=2
+            )
+
+    def test_inplace_matches_functional_quantization(self):
+        """quantize_decode_params_inplace produces numerically identical
+        quantized leaves to quantize_llama_decode_params on both the
+        stacked and the unstacked ('layers') layouts."""
+        from robustvlm_tpu.models.llava.model import (
+            LLAVA_CONFIGS,
+            init_llava_params,
+        )
+        from robustvlm_tpu.ops.quant import (
+            quantize_decode_params_inplace,
+            quantize_llama_decode_params,
+        )
+
+        cfg = LLAVA_CONFIGS["test-tiny"]
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        # build the unstacked serving layout next to the stacked one
+        # (scripts/bench_llava7b._init_bf16_on_device's shape)
+        blocks = params["llama"]["blocks"]
+        params["layers"] = tuple(
+            jax.tree.map(lambda a, i=i: a[i], blocks)
+            for i in range(cfg.llama.n_layers)
+        )
+        ref = quantize_llama_decode_params(params, min_size=0)
+        got = quantize_decode_params_inplace(
+            jax.tree.map(lambda a: a, params), min_size=0
+        )
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            assert a.dtype == b.dtype
+            if a.dtype in (jnp.int8, jnp.uint8):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            else:  # fp32 scales: jitted vs eager fuse/round at ~1e-7 rel
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float64), np.asarray(b, np.float64),
+                    rtol=1e-6, atol=1e-12,
+                )
 
     def test_worker_cli_rejects_unsupported_adapter(self):
         from robustvlm_tpu.serve.model_worker import main
