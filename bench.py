@@ -59,12 +59,15 @@ reference derived from the published targeted-attack cost (≈2 h/image
 LLaVA-7B : bare-ViT-L FLOP ratio -> ≈80 example-steps/s/A100 fp16.
 
 Output contract: the HEADLINE attack metric is the LAST JSON line printed
-(the driver parses the last line). The default invocation also prints two
+(the driver parses the last line). The default invocation also prints
 auxiliary JSON lines first — the real-size LLaVA-7B attack bench (batch 1,
-the reference's only published speed datum) and the FARE fine-tune train
-metric — so one driver run carries the whole perf story. BENCH_LLAVA=0
-skips the 13 GiB stage; BENCH_TRAIN=1 / BENCH_ATTACK_ONLY=1 run a single
-stage (used by scripts/perf_sweep.py A/Bs).
+the reference's only published speed datum), the FARE fine-tune train
+metric, and the serving decode sweeps (int8 and int4, b1+b4, each stage's
+last line a llava7b_greedy_decode_tokens_per_sec summary) — so one driver
+run carries the whole perf story. BENCH_LLAVA=0 skips the 13 GiB attack
+stage, BENCH_DECODE=0 the decode stages; BENCH_TRAIN=1 /
+BENCH_ATTACK_ONLY=1 run a single stage (used by scripts/perf_sweep.py
+A/Bs).
 """
 
 import json
@@ -423,6 +426,28 @@ def main_llava():
     )
 
 
+def main_decode(bits: int, batches):
+    """Serving decode metric, driver-captured (VERDICT r4 #2): LLaVA-7B
+    greedy tokens/s with weight-only quantized LM (scripts/bench_decode.py
+    carries the roofline + measurement trail). Runs in-process on the
+    already-claimed chip; each bits-width is its own stage so the 7B tree
+    is re-initialized and progressively quantized fresh (and released
+    afterwards by _stage)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    import bench_decode
+
+    jax.devices()
+    float(jnp.sum(jnp.ones((8, 8))))
+    _mark_device_ok()
+    bench_decode.main(
+        batches=batches,
+        max_new=int(os.environ.get("BENCH_DECODE_NEW", 128)),
+        bits=bits,
+    )
+
+
 def _release_device_memory():
     """Free everything a finished stage left on the chip. A returned stage's
     arrays stay alive through the attack engine's module-level compiled-core
@@ -459,7 +484,10 @@ def _stage(name, fn):
 
 
 if __name__ == "__main__":
-    wd_s = float(os.environ.get("BENCH_WATCHDOG_S", 1500))
+    # 2400 s bounds the FULL warm story (7B attack + train + two decode
+    # quantize/compile cycles + headline); past device grant the watchdog
+    # only prints a superseded-later error line, never kills the run
+    wd_s = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
     wd = _watchdog(wd_s) if wd_s > 0 else None
     if os.environ.get("BENCH_TRAIN"):
         main_train()
@@ -472,6 +500,19 @@ if __name__ == "__main__":
         if os.environ.get("BENCH_LLAVA", "1") != "0":
             _stage("apgd_attack_steps_per_sec_llava7b_b1", main_llava)
         _stage("fare_train_imgs_per_sec_per_chip_vitl14", main_train)
+        # serving decode stages (opt-out BENCH_DECODE=0): int8 and int4 at
+        # the serving sweep's ends (b1 latency point + b4 aggregate peak).
+        # Measured r5: int8 92.3/236 tok/s, int4 74.5/238.8 — int8 wins b1
+        # (the q4 kernel's nibble decode is VPU-bound), int4 wins batched.
+        if os.environ.get("BENCH_DECODE", "1") != "0":
+            _stage(
+                "llava7b_greedy_decode_tokens_per_sec",
+                lambda: main_decode(8, [1, 4]),
+            )
+            _stage(
+                "llava7b_greedy_decode_tokens_per_sec",
+                lambda: main_decode(4, [1, 4]),
+            )
         main()
     if wd is not None:
         wd.cancel()

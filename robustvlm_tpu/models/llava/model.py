@@ -202,6 +202,89 @@ def llava_per_sample_loss(
 
 
 # ------------------------------------------------------------------ generate
+def make_llava_decode_fns_unstacked(
+    params: Params,
+    cfg: LlavaConfig,
+    pixels01: jax.Array,
+    pre_tokens: jax.Array,
+    *,
+    max_total_len: int,
+    compute_dtype=jnp.bfloat16,
+):
+    """(prefill_fn, decode_fn) with an UNSTACKED per-layer LM loop:
+    params['layers'] is a tuple of per-layer block trees (the
+    7B-fits-on-one-chip serving layout, scripts/bench_llava7b.py
+    _init_bf16_on_device) — the stacked (32,4096,4096) scan relayout-copies
+    +4.1 GiB of HLO temps and OOMs one 16 GiB v5e, so at real size the
+    stack must never exist. Math-identical to the stacked
+    make_llava_decode_fns (pinned by tests/test_bench_decode.py); llama
+    family only. Block weights may be ops.quant Quantized/PackedQ4 leaves
+    (the serving recipe — qmatmul inside _block is transparent)."""
+    from robustvlm_tpu.models.llama.model import _block, rms_norm, rope_freqs
+    from robustvlm_tpu.ops.quant import qmatmul
+
+    lcfg = cfg.llama
+    img = encode_images(params, pixels01, cfg, compute_dtype=compute_dtype)
+    t_prefix = pre_tokens.shape[1] + cfg.n_image_tokens
+    cache_len = t_prefix + max_total_len
+
+    def lm(x, positions, caches, cache_pos, kv_mask):
+        x = x.astype(compute_dtype)
+        cos, sin = rope_freqs(lcfg, positions)
+        new_caches = []
+        for bp, c in zip(params["layers"], caches):
+            x, nc = _block(
+                x, bp, lcfg, cos, sin, flash=False,
+                cache=c, pos=cache_pos, kv_mask=kv_mask,
+            )
+            new_caches.append(nc)
+        h = rms_norm(x, params["llama"]["norm"], lcfg.norm_eps)
+        logits = qmatmul(h, params["llama"]["lm_head"])
+        return logits.astype(jnp.float32), tuple(new_caches)
+
+    def init_caches(b):
+        shape = (b, lcfg.n_kv_heads, cache_len, lcfg.head_dim)
+        return tuple(
+            {"k": jnp.zeros(shape, compute_dtype),
+             "v": jnp.zeros(shape, compute_dtype)}
+            for _ in range(lcfg.n_layers)
+        )
+
+    def prefill_fn(tokens, kv_valid, positions):
+        b = tokens.shape[0]
+        n_rep = b // img.shape[0]
+        img_r = jnp.repeat(img, n_rep, axis=0) if n_rep > 1 else img
+        pre_r = (
+            jnp.repeat(pre_tokens, n_rep, axis=0)
+            if n_rep > 1 else pre_tokens
+        )
+        embeds = splice_embeddings(params, img_r, pre_r, tokens, cfg)
+        kv_mask_full = jnp.concatenate(
+            [jnp.ones((b, t_prefix), bool), kv_valid,
+             jnp.zeros((b, cache_len - t_prefix - kv_valid.shape[1]), bool)],
+            axis=1,
+        )
+        pos_full = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(t_prefix)[None], (b, t_prefix)),
+             t_prefix + positions], axis=1,
+        )
+        logits, caches = lm(embeds, pos_full, init_caches(b), 0, kv_mask_full)
+        return logits[:, -1], caches
+
+    def decode_fn(tok, caches, pos, kv_mask, qpos):
+        b = tok.shape[0]
+        emb = params["llama"]["tok_embedding"][tok]
+        kv_mask_full = jnp.concatenate(
+            [jnp.ones((b, t_prefix), bool), kv_mask], axis=1
+        )
+        logits, caches = lm(
+            emb, t_prefix + qpos, caches, t_prefix + pos, kv_mask_full
+        )
+        return logits, caches
+
+    return prefill_fn, decode_fn
+
+
 def make_llava_decode_fns(
     params: Params,
     cfg: LlavaConfig,
@@ -212,7 +295,14 @@ def make_llava_decode_fns(
     compute_dtype=jnp.bfloat16,
 ):
     """(prefill_fn, decode_fn) for models/generation.py: prefill runs the
-    vision tower + splice once; decode steps run the LM only."""
+    vision tower + splice once; decode steps run the LM only. Dispatches
+    to the unstacked per-layer loop when the params carry the 'layers'
+    serving layout (see make_llava_decode_fns_unstacked)."""
+    if "layers" in params and cfg.lm_family == "llama":
+        return make_llava_decode_fns_unstacked(
+            params, cfg, pixels01, pre_tokens,
+            max_total_len=max_total_len, compute_dtype=compute_dtype,
+        )
     from robustvlm_tpu.models.llama.model import init_cache
     from robustvlm_tpu.models.mpt.model import init_mpt_cache
 

@@ -64,23 +64,29 @@ def _pick_bn(kh: int, n: int) -> Optional[int]:
 
 
 def _kernel(xl_ref, xh_ref, p_ref, sl_ref, sh_ref, o_ref):
-    p = p_ref[:]                       # (Kh, bn) uint8
-    kh, bn = p.shape
+    kh, bn = p_ref.shape
     ngh = sl_ref.shape[0]
     g = kh // ngh
 
-    def half(nib, s_ref):
-        q = (nib.astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    def half(nib_i32, s_ref):
+        q = (nib_i32 - 8).astype(jnp.bfloat16)
         s = s_ref[:].astype(jnp.bfloat16)          # (ngh, bn)
         qg = q.reshape(ngh, g, bn) * s[:, None, :]
         return qg.reshape(kh, bn)
 
+    # decode in int32, the native VPU lane width: mosaic has no
+    # uint8->bfloat16 cast, and the uint8 mask/shift -> int8 -> bf16
+    # route CRASHES the TPU compiler outright (tpu_compile_helper exit 1
+    # through the axon tunnel — measured r5, every production shape).
+    # uint8 codes are non-negative, so int32 & / >> match the packed
+    # semantics exactly.
+    pi = p_ref[:].astype(jnp.int32)                # (Kh, bn)
     acc = jnp.dot(
-        xl_ref[:], half(p & jnp.uint8(0x0F), sl_ref),
+        xl_ref[:], half(pi & 0x0F, sl_ref),
         preferred_element_type=jnp.float32,
     )
     acc = acc + jnp.dot(
-        xh_ref[:], half(p >> jnp.uint8(4), sh_ref),
+        xh_ref[:], half(pi >> 4, sh_ref),
         preferred_element_type=jnp.float32,
     )
     o_ref[:] = acc.astype(o_ref.dtype)

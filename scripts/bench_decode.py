@@ -38,11 +38,25 @@ question tokens, greedy):
         b2: 134.1 tok/s  (fits where bf16 OOMs: int8 relayout temps halve)
         b4: 236.2 tok/s aggregate (14.99 ms step) — params 7.01 GiB
             resident; the micro-batcher's case in numbers
+  int4  b1: 74.45 tok/s  (Pallas q4 kernel, round 5 — first on-hardware
+            run; step 12.48 ms over 3.87 GB = 310 GB/s effective read:
+            the step is VPU-UNPACK-bound, not DMA-bound, so halving the
+            bytes does NOT halve the step and int8 keeps the b1 crown)
+        b2: 143.0 tok/s  (12.68 ms — beats int8's 134: the unpack cost
+            is batch-invariant, so int4 wins as soon as b>=2)
+        b4: 238.8 tok/s  (14.50 ms vs int8's 14.99) — params 4.12 GiB
+            resident: ~3 GiB more KV headroom than int8 for batch growth
 
 The copy-bandwidth anchor (read+write scan chain, 532 GB/s) is a
 conservative floor: decode's ~all-read stream runs 680-750 GB/s. No
 published reference datum exists for this workload (the reference serves
 HF fp16 without a throughput number); the roofline above is the yardstick.
+
+Serving defaults from the numbers: int8 for b1 latency, int4 for batched
+throughput / HBM headroom. The q4 kernel's mosaic lesson (round 5): the
+TPU compiler has no uint8->bfloat16 cast and the uint8-mask -> int8 -> bf16
+route crashes tpu_compile_helper outright; nibble-decode must run in int32
+lanes (ops/pallas/q4_matmul._kernel).
 
 Usage: python scripts/bench_decode.py          (needs the TPU)
        BENCH_DECODE_BATCHES=1,2,4 BENCH_DECODE_NEW=128 to steer;
@@ -84,74 +98,13 @@ T_PRE = 35
 T_QUESTION = 12
 
 
-def make_unstacked_decode_fns(
-    params, cfg, pixels01, pre_tokens, *, max_total_len,
-    compute_dtype=jnp.bfloat16,
-):
-    """(prefill_fn, decode_fn) for models/generation.py with an UNSTACKED
-    per-layer LM loop (params['layers'] = tuple of per-layer trees, the
-    7B-fits-on-one-chip layout from bench_llava7b._init_bf16_on_device).
-
-    Math-identical to models/llava/model.make_llava_decode_fns (the stacked
-    production path) — pinned by tests/test_bench_decode.py."""
-    from robustvlm_tpu.models.llama.model import _block, rms_norm, rope_freqs
-    from robustvlm_tpu.models.llava.model import encode_images, splice_embeddings
-    from robustvlm_tpu.ops.quant import qmatmul
-
-    lcfg = cfg.llama
-    img = encode_images(params, pixels01, cfg, compute_dtype=compute_dtype)
-    t_prefix = pre_tokens.shape[1] + cfg.n_image_tokens
-    cache_len = t_prefix + max_total_len
-
-    def lm(x, positions, caches, cache_pos, kv_mask):
-        x = x.astype(compute_dtype)
-        cos, sin = rope_freqs(lcfg, positions)
-        new_caches = []
-        for bp, c in zip(params["layers"], caches):
-            x, nc = _block(
-                x, bp, lcfg, cos, sin, flash=False,
-                cache=c, pos=cache_pos, kv_mask=kv_mask,
-            )
-            new_caches.append(nc)
-        h = rms_norm(x, params["llama"]["norm"], lcfg.norm_eps)
-        logits = qmatmul(h, params["llama"]["lm_head"])
-        return logits.astype(jnp.float32), tuple(new_caches)
-
-    def init_caches(b):
-        shape = (b, lcfg.n_kv_heads, cache_len, lcfg.head_dim)
-        return tuple(
-            {"k": jnp.zeros(shape, compute_dtype),
-             "v": jnp.zeros(shape, compute_dtype)}
-            for _ in range(lcfg.n_layers)
-        )
-
-    def prefill_fn(tokens, kv_valid, positions):
-        b = tokens.shape[0]
-        embeds = splice_embeddings(params, img, pre_tokens, tokens, cfg)
-        kv_mask_full = jnp.concatenate(
-            [jnp.ones((b, t_prefix), bool), kv_valid,
-             jnp.zeros((b, cache_len - t_prefix - kv_valid.shape[1]), bool)],
-            axis=1,
-        )
-        pos_full = jnp.concatenate(
-            [jnp.broadcast_to(jnp.arange(t_prefix)[None], (b, t_prefix)),
-             t_prefix + positions], axis=1,
-        )
-        logits, caches = lm(embeds, pos_full, init_caches(b), 0, kv_mask_full)
-        return logits[:, -1], caches
-
-    def decode_fn(tok, caches, pos, kv_mask, qpos):
-        b = tok.shape[0]
-        emb = params["llama"]["tok_embedding"][tok]
-        kv_mask_full = jnp.concatenate(
-            [jnp.ones((b, t_prefix), bool), kv_mask], axis=1
-        )
-        logits, caches = lm(
-            emb, t_prefix + qpos, caches, t_prefix + pos, kv_mask_full
-        )
-        return logits, caches
-
-    return prefill_fn, decode_fn
+# The unstacked per-layer decode path was promoted into the package
+# (models/llava/model.make_llava_decode_fns_unstacked) so the serving
+# worker can run the 7B layout too; this alias keeps the bench's and the
+# parity test's historical import working.
+from robustvlm_tpu.models.llava.model import (  # noqa: E402
+    make_llava_decode_fns_unstacked as make_unstacked_decode_fns,
+)
 
 
 def _measure_copy_bandwidth_gb_s(gib: float = 2.0, iters: int = 20):
@@ -300,25 +253,30 @@ def run_one(params, cfg, batch: int, max_new: int):
     return out
 
 
-def main():
+def main(batches=None, max_new=None, bits=None):
+    """Args override the BENCH_DECODE_* env vars (bench.py's decode stage
+    calls this in-process with an explicit sweep)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_llava7b import _init_bf16_on_device
     from robustvlm_tpu.models.llava.model import LLAVA_CONFIGS
 
-    batches = [
-        int(b)
-        for b in os.environ.get("BENCH_DECODE_BATCHES", "1,2,4").split(",")
-    ]
-    max_new = int(os.environ.get("BENCH_DECODE_NEW", 128))
+    if batches is None:
+        batches = [
+            int(b)
+            for b in os.environ.get("BENCH_DECODE_BATCHES", "1,2,4").split(",")
+        ]
+    if max_new is None:
+        max_new = int(os.environ.get("BENCH_DECODE_NEW", 128))
 
     cfg = LLAVA_CONFIGS["llava-1.5-7b"]
     params = _init_bf16_on_device(cfg)
 
-    bits = 0
-    if os.environ.get("BENCH_DECODE_Q4") == "1":
-        bits = 4
-    elif os.environ.get("BENCH_DECODE_Q8") == "1":
-        bits = 8
+    if bits is None:
+        bits = 0
+        if os.environ.get("BENCH_DECODE_Q4") == "1":
+            bits = 4
+        elif os.environ.get("BENCH_DECODE_Q8") == "1":
+            bits = 8
     if bits:
         # PROGRESSIVE per-leaf quantization (the serving worker's path —
         # ops/quant.quantize_decode_params_inplace): quantizing the whole
