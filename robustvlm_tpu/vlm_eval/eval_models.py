@@ -133,6 +133,13 @@ class LlavaEvalModel:
         self.quantize_decode = quantize_decode
         self._decode_params = None  # (bits, tree) once built
         self._fp_dropped = False
+        # jitted generation cores, keyed (max_new, num_beams, length
+        # penalty); jit itself keys on shapes + param-tree structure. The
+        # whole generate (prefill + splice + scan) is ONE compiled program
+        # with params/pixels/tokens as runtime OPERANDS — the serving
+        # worker's hot path (an eager composition would re-dispatch the
+        # vision tower op-by-op over the tunnel per request)
+        self._gen_cores: dict = {}
 
         def loss_fn(p, x, pre, post, labels, mask):
             return llava_per_sample_loss(
@@ -236,41 +243,82 @@ class LlavaEvalModel:
 
     DEFAULT_STOPS = ("</s>", "USER:")
 
-    def _decode_fns(self, x01, prompts, max_new_tokens):
+    def _tokenize_gen(self, prompts):
+        """Host-side generation tokenization: (pre_ids, left-padded post
+        tokens, n_pad). All prompts share the pre-image segment (the vicuna
+        system prompt — one image tower run serves the batch)."""
         from robustvlm_tpu.models.llava.conversation import split_at_image
-        from robustvlm_tpu.models.llava.model import make_llava_decode_fns
 
         pre_txt, _ = split_at_image(prompts[0])
         pre_ids = [self.tok.bos_token_id] + _encode_plain(self.tok, pre_txt)
         post_seqs = [_encode_plain(self.tok, split_at_image(p)[1]) for p in prompts]
         toks, n_pad = left_pad(post_seqs, self.tok.pad_token_id)
-        gen_params = self.params
-        if self.quantize_decode:
-            bits = int(self.quantize_decode)
-            bits = 8 if bits == 1 else bits  # True -> int8
-            # cache keyed on the RESOLVED bits: changing quantize_decode
-            # after a generate (8 -> 4) must rebuild, not silently serve
-            # the stale width
-            if self._decode_params is None or self._decode_params[0] != bits:
-                if self._fp_dropped:
-                    raise RuntimeError(
-                        "cannot requantize to a different width after "
-                        "quantize_for_serving(): the fp weights are gone"
-                    )
-                from robustvlm_tpu.ops.quant import (
-                    quantize_llama_decode_params,
-                )
+        return pre_ids, toks, n_pad
 
-                self._decode_params = (
-                    bits, quantize_llama_decode_params(self.params, bits=bits)
+    def _gen_params(self):
+        """The tree generation runs on: fp, or the (cached) weight-only
+        quantized decode tree when quantize_decode is set."""
+        if not self.quantize_decode:
+            return self.params
+        bits = int(self.quantize_decode)
+        bits = 8 if bits == 1 else bits  # True -> int8
+        # cache keyed on the RESOLVED bits: changing quantize_decode
+        # after a generate (8 -> 4) must rebuild, not silently serve
+        # the stale width
+        if self._decode_params is None or self._decode_params[0] != bits:
+            if self._fp_dropped:
+                raise RuntimeError(
+                    "cannot requantize to a different width after "
+                    "quantize_for_serving(): the fp weights are gone"
                 )
-            gen_params = self._decode_params[1]
+            from robustvlm_tpu.ops.quant import quantize_llama_decode_params
+
+            self._decode_params = (
+                bits, quantize_llama_decode_params(self.params, bits=bits)
+            )
+        return self._decode_params[1]
+
+    def _decode_fns(self, x01, prompts, max_new_tokens):
+        from robustvlm_tpu.models.llava.model import make_llava_decode_fns
+
+        pre_ids, toks, n_pad = self._tokenize_gen(prompts)
         pf, df = make_llava_decode_fns(
-            gen_params, self.cfg, x01, jnp.asarray([pre_ids] * x01.shape[0]),
+            self._gen_params(), self.cfg, x01,
+            jnp.asarray([pre_ids] * x01.shape[0]),
             max_total_len=toks.shape[1] + max_new_tokens,
             compute_dtype=self.compute_dtype,
         )
         return pf, df, toks, n_pad
+
+    def _gen_core(self, max_new_tokens: int, num_beams: int,
+                  length_penalty: float):
+        key = (max_new_tokens, num_beams, length_penalty)
+        fn = self._gen_cores.get(key)
+        if fn is None:
+            from robustvlm_tpu.models.llava.model import make_llava_decode_fns
+
+            cfg, dtype = self.cfg, self.compute_dtype
+            eos, pad = self.tok.eos_token_id, self.tok.pad_token_id
+
+            def core(params, x01, pre, toks, n_pad):
+                pf, df = make_llava_decode_fns(
+                    params, cfg, x01, pre,
+                    max_total_len=toks.shape[1] + max_new_tokens,
+                    compute_dtype=dtype,
+                )
+                if num_beams == 1:
+                    return greedy_generate(
+                        pf, df, toks, n_pad, max_new_tokens=max_new_tokens,
+                        eos_id=eos, pad_id=pad,
+                    )
+                return beam_generate(
+                    pf, df, toks, n_pad, max_new_tokens=max_new_tokens,
+                    eos_id=eos, pad_id=pad, num_beams=num_beams,
+                    length_penalty=length_penalty,
+                )
+
+            fn = self._gen_cores[key] = jax.jit(core)
+        return fn
 
     def get_outputs(
         self,
@@ -282,15 +330,11 @@ class LlavaEvalModel:
         length_penalty: float = 0.0,
         stop_strings: Sequence[str] = DEFAULT_STOPS,
     ) -> List[str]:
-        pf, df, toks, n_pad = self._decode_fns(x01, prompts, max_new_tokens)
-        gen = greedy_generate if num_beams == 1 else beam_generate
-        kw = {} if num_beams == 1 else {
-            "num_beams": num_beams, "length_penalty": length_penalty
-        }
-        res = gen(
-            pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
-            max_new_tokens=max_new_tokens, eos_id=self.tok.eos_token_id,
-            pad_id=self.tok.pad_token_id, **kw,
+        pre_ids, toks, n_pad = self._tokenize_gen(prompts)
+        res = self._gen_core(max_new_tokens, num_beams, length_penalty)(
+            self._gen_params(), x01,
+            jnp.asarray([pre_ids] * x01.shape[0]),
+            jnp.asarray(toks), jnp.asarray(n_pad),
         )
         return [
             truncate_at_stops(self.tok.decode(ids), stop_strings)
