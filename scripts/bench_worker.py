@@ -1,0 +1,319 @@
+"""End-to-end serving-worker benchmark: HTTP -> worker -> jitted decode.
+
+scripts/bench_decode.py times the jitted prefill+scan alone (the serving
+floor); this script times the REAL worker surface
+(robustvlm_tpu/serve/model_worker.py — reference counterpart
+llava/serve/model_worker.py:126-226, which serves HF fp16 with no published
+throughput) through actual HTTP on localhost:
+
+  1. /worker_generate, single stream, window=0 (the reference's strictly
+     per-request behavior): latency + tok/s at batch 1 — quantifies the
+     HTTP + base64/PNG decode + host tokenize overhead over the jitted scan.
+  2. /worker_generate_stream, single stream: tok/s with per-token chunk
+     flushes — quantifies the per-token tunnel-dispatch penalty
+     (greedy_generate_stream re-dispatches one fused step per token instead
+     of ONE compiled prefill+scan program).
+  3. /worker_generate under concurrency c in {2,4,8} with the
+     window-coalescing micro-batcher (max_batch=c, so the compiled batch
+     shape equals the offered concurrency): aggregate tok/s — the measured
+     case for the batcher that bench_decode's b2/b4 scan numbers only imply.
+
+Model: LLaVA-1.5-7B at real shapes, random bf16 weights (throughput is
+weight-agnostic), progressively quantized IN PLACE at startup
+(quantize_for_serving — fp+quantized trees cannot coexist at 7B on one
+16 GiB v5e). int8 by default: the measured serving default for b1 latency
+(bench_decode.py); BENCH_WORKER_BITS=4 serves the packed-int4 Pallas path
+(wins at batch >= 2 and leaves ~3 GiB more KV headroom for the b8 point).
+
+Usage:  python scripts/bench_worker.py            (needs the TPU)
+        BENCH_WORKER_BITS=8|4     weight-only width (default 8)
+        BENCH_WORKER_NEW=64       new tokens per request
+        BENCH_WORKER_CONC=2,4,8   concurrency sweep (micro-batched)
+        BENCH_WORKER_REQS=3       sequential requests per client thread
+        BENCH_WORKER_STREAM_NEW=32  new tokens for the stream point
+
+Prints one JSON line per stage; the last line is the summary. CPU smoke
+test of the harness plumbing: tests/test_bench_worker.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _configure_cache():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _png_b64(size: int, seed: int = 0) -> str:
+    """A random RGB PNG at the model's resolution, base64 — exercises the
+    worker's real image path (PIL decode + transform), like a browser
+    client would."""
+    import numpy as np
+    from PIL import Image
+
+    rgb = (np.random.RandomState(seed).rand(size, size, 3) * 255).astype("uint8")
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(url: str, payload: dict, timeout: float = 3600.0) -> dict:
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _stream_times(url: str, payload: dict, timeout: float = 3600.0):
+    """POST to /worker_generate_stream; -> (t_first_chunk_s, t_total_s,
+    n_chunks) relative to the send. Each NDJSON chunk is one new token."""
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    t0 = time.perf_counter()
+    t_first = None
+    n = 0
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        for line in r:
+            if not line.strip():
+                continue
+            chunk = json.loads(line)
+            if chunk.get("error_code"):
+                raise RuntimeError(chunk.get("error", "stream error"))
+            if t_first is None:
+                t_first = time.perf_counter() - t0
+            n += 1
+    return t_first, time.perf_counter() - t0, n
+
+
+def _serve(model, *, image_size: int, window_ms: float, max_batch: int):
+    """Start a worker HTTP server on an ephemeral localhost port;
+    -> (server, base_url). Caller must server.shutdown()."""
+    from robustvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    worker = ModelWorker(
+        model, "llava-7b-bench", worker_address="", controller_address=None,
+        image_size=image_size, batch_window_ms=window_ms, max_batch=max_batch,
+    )
+    srv = serve_worker(worker, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def bench_single(url: str, img: str, max_new: int, *, reps: int = 3) -> dict:
+    """Stage 1: per-request endpoint, one client. First call compiles;
+    best-of-`reps` afterwards."""
+    payload = {"image_b64": img, "task": "caption", "max_new_tokens": max_new}
+    t0 = time.perf_counter()
+    out = _post(url + "/worker_generate", payload)
+    t_compile = time.perf_counter() - t0
+    if out.get("error_code"):
+        raise RuntimeError(out.get("error", "generate failed"))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = _post(url + "/worker_generate", payload)
+        dt = time.perf_counter() - t0
+        if out.get("error_code"):
+            raise RuntimeError(out.get("error", "generate failed"))
+        best = dt if best is None else min(best, dt)
+    return {
+        "stage": "single_request",
+        "latency_s": round(best, 3),
+        "tokens_per_sec": round(max_new / best, 2),
+        "compile_plus_first_s": round(t_compile, 1),
+        "max_new_tokens": max_new,
+    }
+
+
+def bench_stream(url: str, img: str, max_new: int, *, reps: int = 3) -> dict:
+    """Stage 2: streaming endpoint, one client. Reports the steady per-token
+    rate (chunks after the first, which absorbs prefill + dispatch warmup)."""
+    payload = {"image_b64": img, "task": "caption", "max_new_tokens": max_new}
+    _stream_times(url + "/worker_generate_stream", payload)  # compile/warm
+    best = None
+    for _ in range(reps):
+        t_first, t_total, n = _stream_times(
+            url + "/worker_generate_stream", payload
+        )
+        if best is None or t_total < best[1]:
+            best = (t_first, t_total, n)
+    t_first, t_total, n = best
+    if t_first is None:  # all rows hit EOS immediately (tiny test models)
+        t_first = t_total
+    per_tok_ms = (t_total - t_first) / max(n - 1, 1) * 1000
+    return {
+        "stage": "stream_single",
+        "time_to_first_token_s": round(t_first, 3),
+        "total_s": round(t_total, 3),
+        "n_chunks": n,
+        "steady_ms_per_token": round(per_tok_ms, 2),
+        "tokens_per_sec": round(n / t_total, 2),
+        "max_new_tokens": max_new,
+    }
+
+
+def bench_concurrent(
+    url: str, img: str, max_new: int, conc: int, reqs: int
+) -> dict:
+    """Stage 3: `conc` client threads, `reqs` sequential requests each,
+    against a worker whose micro-batcher compiles at batch shape == conc.
+    Aggregate tok/s counts every request's max_new tokens (the scan is
+    fixed-length, so padded rows do the same chip work)."""
+    errors: list = []
+
+    def client(i: int):
+        payload = {
+            "image_b64": img, "task": "vqa",
+            "question": f"what is in image {i}", "max_new_tokens": max_new,
+        }
+        for _ in range(reqs):
+            out = _post(url + "/worker_generate", payload)
+            if out.get("error_code"):
+                errors.append(out.get("error", "?"))
+                return
+
+    # warm/compile: one full concurrent volley (the batcher pads to conc)
+    warm = [threading.Thread(target=client, args=(i,)) for i in range(conc)]
+    t0 = time.perf_counter()
+    for t in warm:
+        t.start()
+    for t in warm:
+        t.join()
+    t_compile = time.perf_counter() - t0
+    if errors:
+        raise RuntimeError(f"concurrency {conc}: {errors[0][:300]}")
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(conc)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    if errors:
+        raise RuntimeError(f"concurrency {conc}: {errors[0][:300]}")
+    total_tokens = conc * reqs * max_new
+    return {
+        "stage": "concurrent_batched",
+        "concurrency": conc,
+        "requests_per_client": reqs,
+        "aggregate_tokens_per_sec": round(total_tokens / dt, 2),
+        "wall_s": round(dt, 4),
+        "compile_plus_first_volley_s": round(t_compile, 1),
+        "max_new_tokens": max_new,
+    }
+
+
+def build_7b_serving_model(bits: int):
+    """LLaVA-1.5-7B eval model, random bf16 weights born unstacked on
+    device (bench_llava7b._init_bf16_on_device — the stacked layout OOMs),
+    then quantized in place for serving."""
+    import jax.numpy as jnp
+
+    from bench_llava7b import _init_bf16_on_device
+    from robustvlm_tpu.models.llava.model import LLAVA_CONFIGS
+    from robustvlm_tpu.vlm_eval.eval_models import LlavaEvalModel, WordTokenizer
+
+    cfg = LLAVA_CONFIGS["llava-1.5-7b"]
+    params = _init_bf16_on_device(cfg)
+    model = LlavaEvalModel(
+        params, cfg, WordTokenizer(cfg.llama.vocab_size),
+        compute_dtype=jnp.bfloat16,
+    )
+    model.quantize_for_serving(bits)
+    return model
+
+
+def main(argv=None):
+    _configure_cache()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    bits = int(os.environ.get("BENCH_WORKER_BITS", 8))
+    max_new = int(os.environ.get("BENCH_WORKER_NEW", 64))
+    stream_new = int(os.environ.get("BENCH_WORKER_STREAM_NEW", 32))
+    concs = [
+        int(c) for c in os.environ.get("BENCH_WORKER_CONC", "2,4,8").split(",")
+        if c.strip()
+    ]
+    reqs = int(os.environ.get("BENCH_WORKER_REQS", 3))
+
+    model = build_7b_serving_model(bits)
+    size = model.cfg.vision.image_size
+    img = _png_b64(size)
+    n_bytes = sum(
+        l.size * l.dtype.itemsize for l in jax.tree.leaves(model.params)
+    )
+    print(f"params resident: {n_bytes / 2**30:.2f} GiB int{bits}",
+          file=sys.stderr)
+
+    points = []
+
+    def stage(fn, *a, **kw):
+        try:
+            out = fn(*a, **kw)
+        except Exception as e:  # sweep must continue past an OOM point
+            out = {"stage": fn.__name__, "error": str(e)[:400], **kw}
+        points.append(out)
+        print(json.dumps({"metric": "llava7b_worker_e2e", **out}), flush=True)
+        return out
+
+    # stages 1+2: per-request worker (window=0, the reference behavior)
+    srv, url = _serve(model, image_size=size, window_ms=0.0, max_batch=1)
+    single = stage(bench_single, url, img, max_new)
+    stream = stage(bench_stream, url, img, stream_new)
+    srv.shutdown()
+
+    # stage 3: one worker per concurrency so the compiled batch shape
+    # equals the offered load (max_batch=c); window 30 ms coalesces the
+    # volley into one padded TPU call
+    for c in concs:
+        srv, url = _serve(model, image_size=size, window_ms=30.0, max_batch=c)
+        stage(bench_concurrent, url, img, max_new, conc=c, reqs=reqs)
+        srv.shutdown()
+
+    agg = {
+        p["concurrency"]: p["aggregate_tokens_per_sec"]
+        for p in points
+        if p.get("stage") == "concurrent_batched" and "error" not in p
+    }
+    summary = {
+        "metric": "llava7b_worker_e2e_tokens_per_sec",
+        "value": max(
+            [single.get("tokens_per_sec", 0), *agg.values()], default=None
+        ),
+        "unit": "tokens/s/chip",
+        "weights": f"int{bits}",
+        "single_request_tokens_per_sec": single.get("tokens_per_sec"),
+        "stream_steady_ms_per_token": stream.get("steady_ms_per_token"),
+        "aggregate_by_concurrency": agg,
+        "max_new_tokens": max_new,
+    }
+    print(json.dumps(summary), flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    main()
