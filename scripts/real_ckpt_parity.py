@@ -144,6 +144,154 @@ def run_imagenet_eval(args, params, cfg):
     return aa.robust_accuracy_dict
 
 
+def _load_quality_images(image_dir: str, image_size: int, n: int):
+    """(n, 3, S, S) [0,1] batch: real images from a flat dir when given
+    (sorted, deterministic), else a fixed synthetic batch — quantization
+    consistency (fp vs int8/int4 on the SAME inputs) is measurable either
+    way; CIDEr is only meaningful with real images + real weights."""
+    import jax.numpy as jnp
+
+    if image_dir:
+        from pathlib import Path
+
+        from robustvlm_tpu.data.loaders import default_image_transform
+        from PIL import Image
+
+        tf = default_image_transform(image_size)
+        paths = sorted(
+            p for p in Path(image_dir).iterdir()
+            if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp")
+        )[:n]
+        if not paths:
+            raise ValueError(f"no images found in {image_dir}")
+        arrs = []
+        for p in paths:
+            with Image.open(p) as img:
+                arrs.append(tf(img.convert("RGB")))
+        return jnp.asarray(np.stack(arrs))
+    rng = np.random.RandomState(0)
+    return jnp.asarray(
+        rng.rand(n, 3, image_size, image_size).astype(np.float32)
+    )
+
+
+def quant_quality(model_factory, images, *, widths=(8, 4), max_new=32):
+    """Serving-quantization quality gate (VERDICT r4 #4): greedy-decode the
+    SAME images through the fp model and each weight-only width
+    (quantize_for_serving — the production serving path), then score each
+    width against fp: token agreement over fp's generated span, exact-match
+    rate, and CIDEr-D with the fp captions as references.
+
+    `model_factory` must return a FRESH LlavaEvalModel per call:
+    quantize_for_serving drops the fp tree in place (at 7B fp + quantized
+    trees cannot coexist on one 16 GiB v5e), so each width reloads from
+    disk. Returns {"int8": {...}, "int4": {...}} metric dicts.
+    """
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from robustvlm_tpu.vlm_eval.eval_models import (
+        strip_after_eos, truncate_at_stops,
+    )
+    from robustvlm_tpu.vlm_eval.metrics.cider import compute_cider
+
+    def generate(width):
+        model = model_factory()
+        if width:
+            model.quantize_for_serving(width)
+        prompts = [model.get_caption_prompt()] * images.shape[0]
+        pre_ids, toks, n_pad = model._tokenize_gen(prompts)
+        res = model._gen_core(max_new, 1, 0.0)(
+            model._gen_params(), images,
+            jnp.asarray([pre_ids] * images.shape[0]),
+            jnp.asarray(toks), jnp.asarray(n_pad),
+        )
+        tokens = np.asarray(res.tokens)
+        eos, pad = model.tok.eos_token_id, model.tok.pad_token_id
+        caps = [
+            truncate_at_stops(model.tok.decode(ids), model.DEFAULT_STOPS)
+            for ids in strip_after_eos(tokens, eos, pad)
+        ]
+        del model
+        gc.collect()
+        jax.clear_caches()
+        return tokens, caps, (eos, pad)
+
+    fp_tokens, fp_caps, (eos, pad) = generate(0)
+    out = {}
+    for width in widths:
+        q_tokens, q_caps, _ = generate(width)
+        agree, exact = [], 0
+        for fp_row, q_row in zip(fp_tokens, q_tokens):
+            stop = np.where((fp_row == eos) | (fp_row == pad))[0]
+            valid = int(stop[0]) if len(stop) else len(fp_row)
+            valid = max(valid, 1)
+            a = float(np.mean(fp_row[:valid] == q_row[:valid]))
+            agree.append(a)
+            exact += int(a == 1.0)
+        ids = list(range(len(fp_caps)))
+        out[f"int{width}"] = {
+            "token_agreement": round(float(np.mean(agree)), 4),
+            "exact_match_rate": round(exact / len(agree), 4),
+            "cider_vs_fp": round(
+                compute_cider(
+                    dict(zip(ids, q_caps)),
+                    {i: [fp_caps[i]] for i in ids},
+                ), 4
+            ),
+            "n_images": len(agree),
+            "max_new_tokens": max_new,
+        }
+    return out
+
+
+def run_llava_quant_quality(args):
+    """CLI wiring for the gate: reload the real LLaVA checkpoint per width
+    (see quant_quality docstring) and print one JSON line. Skips unless
+    $LLAVA_CKPT / --llava_ckpt points at real weights."""
+    import jax.numpy as jnp
+
+    from robustvlm_tpu.models.llava import LLAVA_CONFIGS, load_llava_checkpoint
+    from robustvlm_tpu.vlm_eval.eval_models import LlavaEvalModel
+
+    cfg = LLAVA_CONFIGS[args.llava_model]
+
+    def factory():
+        params = load_llava_checkpoint(args.llava_ckpt, cfg)
+        tok = _hf_tokenizer(args.tokenizer_path)
+        return LlavaEvalModel(params, cfg, tok, compute_dtype=jnp.bfloat16)
+
+    images = _load_quality_images(
+        args.image_dir, cfg.vision.image_size, args.n_quality_images
+    )
+    res = quant_quality(
+        factory, images, max_new=args.quality_max_new
+    )
+    print(json.dumps({"metric": "llava_quant_quality_vs_fp", **res}))
+    # the north-star bar the day a checkpoint is reachable: int8 should be
+    # near-transcript-identical; int4 visibly coarser but CIDEr-high
+    return res
+
+
+def _hf_tokenizer(tokenizer_path: str):
+    if not tokenizer_path:
+        raise ValueError(
+            "--tokenizer_path required with --llava_ckpt (the HF LLaMA "
+            "tokenizer directory)"
+        )
+    from robustvlm_tpu.vlm_eval.run_evaluation import _tokenizer as _rt
+
+    class _A:  # minimal arg shim for run_evaluation's loader
+        pass
+
+    a = _A()
+    a.tokenizer_path = tokenizer_path
+    a.model = "llava"
+    return _rt(a)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--ckpt", default=os.environ.get("CLIP_CKPT", ""))
@@ -162,10 +310,30 @@ def main(argv=None):
     p.add_argument("--attack_batch", type=int, default=8)
     p.add_argument("--bpe_path", default=os.environ.get("CLIP_BPE_PATH", ""))
     p.add_argument("--host_loop", action="store_true")
+    # serving-quantization quality gate (LLaVA): int8/int4 greedy decode vs
+    # fp on the same images — token agreement + CIDEr with fp captions as
+    # references. Gated on a real LLaVA checkpoint being reachable.
+    p.add_argument("--llava_ckpt", default=os.environ.get("LLAVA_CKPT", ""))
+    p.add_argument("--llava_model", default="llava-1.5-7b")
+    p.add_argument("--tokenizer_path",
+                   default=os.environ.get("LLAVA_TOKENIZER", ""))
+    p.add_argument("--image_dir", default="",
+                   help="flat dir of images for the quality gate "
+                        "(default: fixed synthetic batch)")
+    p.add_argument("--n_quality_images", type=int, default=8)
+    p.add_argument("--quality_max_new", type=int, default=32)
     args = p.parse_args(argv)
 
+    if args.llava_ckpt:
+        run_llava_quant_quality(args)
+        if not args.ckpt:
+            return 0
+
     if not args.ckpt:
-        print("SKIP: no checkpoint ($CLIP_CKPT unset, --ckpt empty)")
+        print(
+            "SKIP: no checkpoint ($CLIP_CKPT unset, --ckpt empty; "
+            "$LLAVA_CKPT unset for the quantized-serving quality gate)"
+        )
         return 0
 
     params, cfg = load_real_checkpoint(args)
