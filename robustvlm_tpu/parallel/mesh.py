@@ -152,6 +152,23 @@ def _spec_for(path: str, ndim: Optional[int] = None) -> P:
     return P()  # replicate (layernorms, scalars, class embedding)
 
 
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop spec axes that don't divide the param's dims evenly — a named
+    mesh axis can only tile a dimension it divides. Real checkpoints hit
+    this (ViT-L/14 patch_embed has 3*14*14=588 rows: indivisible by an
+    8-way fsdp axis); the correct degradation is replicating THAT dim, not
+    failing the whole placement."""
+    out = []
+    for i, entry in enumerate(spec):
+        if entry is None or i >= len(shape):
+            out.append(entry)
+            continue
+        axes = entry if isinstance(entry, tuple) else (entry,)
+        n = int(np.prod([mesh.shape[a] for a in axes]))
+        out.append(entry if shape[i] % n == 0 else None)
+    return P(*out)
+
+
 def param_sharding_rules(params, mesh: Mesh):
     """Pytree of NamedShardings for a CLIP param tree (TP over 'model', ZeRO-3
     over 'fsdp', replicated across 'data')."""
@@ -164,7 +181,12 @@ def param_sharding_rules(params, mesh: Mesh):
 
     leaves = {
         path_str(kp): NamedSharding(
-            mesh, _spec_for(path_str(kp), getattr(leaf, "ndim", None))
+            mesh,
+            _fit_spec(
+                _spec_for(path_str(kp), getattr(leaf, "ndim", None)),
+                getattr(leaf, "shape", ()),
+                mesh,
+            ),
         )
         for kp, leaf in flat
     }

@@ -379,3 +379,50 @@ class TestBertTowerShardingRules:
         np.testing.assert_allclose(
             np.linalg.norm(e, axis=-1), 1.0, atol=1e-5
         )
+
+
+class TestFitSpec:
+    """Divisibility-aware spec degradation (parallel/mesh._fit_spec): a
+    named axis that doesn't divide a param dim must fall back to
+    replication for THAT dim only — ViT-L/14's (588, 1024) patch_embed
+    with an 8-way fsdp axis is the production case (588 = 3*14*14)."""
+
+    def test_indivisible_dim_replicates(self):
+        from robustvlm_tpu.parallel.mesh import param_sharding_rules
+
+        mesh = make_mesh(data=1, fsdp=8, model=1)
+        tree = {"patch_embed": jnp.zeros((588, 1024))}
+        sh = param_sharding_rules(tree, mesh)["patch_embed"]
+        assert sh.spec == P(None, None) or sh.spec == P()
+
+    def test_divisible_dim_keeps_rule(self):
+        from robustvlm_tpu.parallel.mesh import param_sharding_rules
+
+        mesh = make_mesh(data=1, fsdp=8, model=1)
+        tree = {"patch_embed": jnp.zeros((768, 1024))}
+        sh = param_sharding_rules(tree, mesh)["patch_embed"]
+        assert sh.spec == P("fsdp", None) or sh.spec == P("fsdp")
+
+    def test_real_of9b_tree_places_on_fsdp8(self):
+        """The full OF-9B abstract tree must produce valid shardings on an
+        8-way fsdp mesh (this failed before _fit_spec: device_put/lower
+        raised on patch_embed)."""
+        from robustvlm_tpu.models.flamingo import (
+            FLAMINGO_CONFIGS, init_flamingo_params,
+        )
+        from robustvlm_tpu.parallel.mesh import param_sharding_rules
+
+        cfg = FLAMINGO_CONFIGS["openflamingo-9b"]
+        shapes = jax.eval_shape(
+            lambda k: init_flamingo_params(k, cfg), jax.random.PRNGKey(0)
+        )
+        mesh = make_mesh(data=1, fsdp=8, model=1)
+        shardings = param_sharding_rules(shapes, mesh)
+        # every sharding must tile its leaf evenly (shard_shape raises if not)
+        for s, sh in zip(jax.tree.leaves(shapes), jax.tree.leaves(
+            shardings, is_leaf=lambda x: hasattr(x, "spec")
+        )):
+            sh.shard_shape(s.shape)  # must not raise
+        # and the big MPT weights must actually BE sharded, not replicated
+        wqkv = shardings["mpt"]["blocks"]["attn"]["wqkv"]
+        assert "fsdp" in str(wqkv.spec)
