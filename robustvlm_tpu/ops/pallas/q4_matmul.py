@@ -92,8 +92,66 @@ def _kernel(xl_ref, xh_ref, p_ref, sl_ref, sh_ref, o_ref):
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
-def _q4_matmul_2d(x, p, s, *, bn: int, interpret: bool = False):
+# fp32 magic-number constants: OR-ing a nibble q into the mantissa of
+# 2^23 gives the EXACT fp32 value 2^23 + q (bitcast, no convert op);
+# subtracting (2^23 + 8) is exact (operands within a factor of 2 —
+# Sterbenz), leaving q - 8 with zero rounding error.
+_MAGIC_BITS = 0x4B000000       # fp32 2^23
+_MAGIC_F = 8388616.0           # 2^23 + 8
+
+
+def _kernel_group(xl_ref, xh_ref, p_ref, sl_ref, sh_ref, o_ref):
+    """Group-dot variant: the b1 decode step is VPU-UNPACK-bound (measured
+    12.48 ms = 310 GB/s effective vs the ~700 GB/s stream), so this form
+    cuts VPU work per decoded element from ~5 ops (i32 sub, i32->f32,
+    f32->bf16, bf16 scale-mul) to ~3 (OR, exact magic fsub, f32->bf16):
+
+      - magic-number dequant replaces the int->float convert chain with a
+        mantissa-OR + bitcast (free) + one exact fp32 subtract;
+      - the per-element group-scale multiply moves OUT of the decode: the
+        MXU dots run per quantization group on the UNSCALED (q-8) tiles,
+        and the (ngh, B, bn) fp32 partials are scaled and summed after —
+        ngh*B*bn multiplies instead of kh*bn.
+
+    The batched per-group dot serializes on the MXU (CLAUDE.md), but at
+    decode batch <= 32 the MXU is idle either way — the kernel trades MXU
+    slack for VPU relief. Same math as _kernel up to fp32 summation order
+    (scale applied to fp32 partials here is STRICTLY more precise than
+    _kernel's bf16 scale multiply)."""
+    kh, bn = p_ref.shape
+    ngh = sl_ref.shape[0]
+    g = kh // ngh
+    b = xl_ref.shape[0]
+
+    def half(nib_i32, s_ref, x_ref):
+        f = jax.lax.bitcast_convert_type(
+            nib_i32 | _MAGIC_BITS, jnp.float32
+        )                                           # 2^23 + q, exact
+        qg = (f - _MAGIC_F).astype(jnp.bfloat16).reshape(ngh, g, bn)
+        xg = x_ref[:].reshape(b, ngh, g).transpose(1, 0, 2)  # (ngh, B, g)
+        part = jax.lax.dot_general(
+            xg, qg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                           # (ngh, B, bn)
+        return jnp.sum(part * s_ref[:][:, None, :], axis=0)
+
+    pi = p_ref[:].astype(jnp.int32)
+    acc = half(pi & 0x0F, sl_ref, xl_ref) + half(pi >> 4, sh_ref, xh_ref)
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _use_group_kernel() -> bool:
+    """Variant switch: Q4_KERNEL=group selects the magic-dequant group-dot
+    form (see _kernel_group) — measured head-to-head on chip before any
+    default flip; the classic form stays default until it loses."""
+    import os
+
+    return os.environ.get("Q4_KERNEL", "") == "group"
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret", "group"))
+def _q4_matmul_2d(x, p, s, *, bn: int, interpret: bool = False,
+                  group: bool = False):
     """x (B, K) @ packed (K/2, N) -> (B, N) in x.dtype. B must be a
     multiple of 8 (callers pad)."""
     b, k = x.shape
@@ -106,7 +164,7 @@ def _q4_matmul_2d(x, p, s, *, bn: int, interpret: bool = False):
     sl, sh = s2[:ngh], s2[ngh:]
     grid = (n // bn,)
     out = pl.pallas_call(
-        _kernel,
+        _kernel_group if group else _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((b, kh), lambda i: (0, 0)),
@@ -151,7 +209,9 @@ def q4_matmul(x: jax.Array, p: jax.Array, s: jax.Array,
     pad = (-b) % 8
     if pad:
         xb = jnp.pad(xb, ((0, pad), (0, 0)))
-    out = _q4_matmul_2d(xb, p, s, bn=bn, interpret=interpret)
+    out = _q4_matmul_2d(
+        xb, p, s, bn=bn, interpret=interpret, group=_use_group_kernel()
+    )
     if pad:
         out = out[:b]
     return out.reshape(lead + (n,))

@@ -70,3 +70,43 @@ def test_ineligible_shapes_return_none():
     assert q4_matmul(
         jnp.zeros((1, 128), jnp.bfloat16), qw.p, qw.s, interpret=True
     ) is None
+
+
+@pytest.mark.parametrize("b,k,n,g", [
+    (1, 512, 512, 128),
+    (8, 512, 384, 64),
+    (3, 256, 128, 128),
+])
+def test_group_kernel_matches_xla_decode(b, k, n, g, monkeypatch):
+    """The magic-dequant group-dot variant (Q4_KERNEL=group) must match the
+    XLA decode path like the classic kernel does — its fp32 magic subtract
+    is exact and its scale applies to fp32 partials, so if anything it is
+    CLOSER to the fp32 reference than the bf16-scale classic form."""
+    monkeypatch.setenv("Q4_KERNEL", "group")
+    qw = _mk(k, n, g)
+    x = (jax.random.normal(jax.random.PRNGKey(1), (b, k)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    y = q4_matmul(x, qw.p, qw.s, interpret=True)
+    assert y is not None and y.shape == (b, n) and y.dtype == x.dtype
+    ref = x.astype(jnp.float32) @ dequantize(qw, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref), rtol=1e-2, atol=1e-2
+    )
+
+
+def test_group_kernel_matches_classic_closely(monkeypatch):
+    """Variant agreement on the same inputs: both decode the same (q-8)*s
+    weights; only fp32 summation order differs."""
+    qw = _mk(512, 256, 128, seed=5)
+    x = (jax.random.normal(jax.random.PRNGKey(4), (8, 512)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    monkeypatch.delenv("Q4_KERNEL", raising=False)
+    y_classic = q4_matmul(x, qw.p, qw.s, interpret=True)
+    monkeypatch.setenv("Q4_KERNEL", "group")
+    y_group = q4_matmul(x, qw.p, qw.s, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y_classic, np.float32), np.asarray(y_group, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
