@@ -102,20 +102,48 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     ).reshape(b, h * n_rep, t, d)
 
 
+def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(batch, head, token) absmax int8 quantization of new K/V rows:
+    (B,H,T,hd) -> (int8 codes, fp32 scales (B,H,T)). Decode is HBM-bound
+    and at batch >= 4 the KV cache's read share bites (bench_decode.py);
+    int8 halves those bytes. The scale NEVER touches the per-element path:
+    scores absorb k's scale per KEY column and probs absorb v's before the
+    PV dot (see _attn), so XLA fuses the int8->bf16 convert into the dot's
+    operand load exactly like the weight-quant recipe (ops/quant.py)."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, s
+
+
 def _attn(q, k, v, *, causal: bool, flash: bool, q_positions=None,
-          kv_mask=None):
+          kv_mask=None, k_scale=None, v_scale=None):
     """q (B,Hq,Tq,hd), k/v (B,Hkv,Tk,hd). For cached decode (Tq < Tk) the
     causal structure is encoded by masking j > pos_q explicitly; kv_mask
-    (B, Tk) additionally masks invalid (padding / unwritten) key slots."""
+    (B, Tk) additionally masks invalid (padding / unwritten) key slots.
+    k_scale/v_scale (B,Hkv,Tk) dequantize an int8 KV cache: applied to the
+    score columns / softmax probs, not the cached elements."""
     n_rep = q.shape[1] // k.shape[1]
     k = _repeat_kv(k, n_rep)
     v = _repeat_kv(v, n_rep)
+    if k_scale is not None:
+        b_, h_, t_ = k_scale.shape
+        rep3 = lambda s: jnp.broadcast_to(
+            s[:, :, None], (b_, h_, n_rep, t_)
+        ).reshape(b_, h_ * n_rep, t_)
+        k_scale, v_scale = rep3(k_scale), rep3(v_scale)
+        k = k.astype(q.dtype)  # int8->bf16: fuses into the score dot's load
+        v = v.astype(q.dtype)
     if flash and q.shape[2] == k.shape[2] and kv_mask is None:
         from robustvlm_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v, causal=causal)
     scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if k_scale is not None:
+        s = s * k_scale[:, :, None, :]
     tq, tk = q.shape[2], k.shape[2]
     mask = None
     if causal:
@@ -133,7 +161,10 @@ def _attn(q, k, v, *, causal: bool, flash: bool, q_positions=None,
         mask = km if mask is None else (mask & km)
     if mask is not None:
         s = jnp.where(mask[:, None], s, -1e30)
-    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    if v_scale is not None:
+        p = p * v_scale[:, :, None, :]
+    p = p.astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
@@ -156,18 +187,41 @@ def _block(x, bp, cfg: LlamaConfig, cos, sin, *, flash, cache=None, pos=None,
 
     new_cache = None
     if cache is not None:
-        ck = jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
-        )
-        new_cache = {"k": ck, "v": cv}
-        kk, vv = ck, cv
-        # mask out not-yet-written cache slots via causal masking on position
-        qpos = pos + jnp.arange(t)
-        att = _attn(q, kk, vv, causal=True, flash=False, q_positions=qpos,
-                    kv_mask=kv_mask)
+        if "ks" in cache:  # int8 KV cache (see _quantize_kv)
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            new_cache = {
+                "k": jax.lax.dynamic_update_slice(
+                    cache["k"], kq, (0, 0, pos, 0)
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    cache["v"], vq, (0, 0, pos, 0)
+                ),
+                "ks": jax.lax.dynamic_update_slice(
+                    cache["ks"], ks, (0, 0, pos)
+                ),
+                "vs": jax.lax.dynamic_update_slice(
+                    cache["vs"], vs, (0, 0, pos)
+                ),
+            }
+            qpos = pos + jnp.arange(t)
+            att = _attn(
+                q, new_cache["k"], new_cache["v"], causal=True, flash=False,
+                q_positions=qpos, kv_mask=kv_mask,
+                k_scale=new_cache["ks"], v_scale=new_cache["vs"],
+            )
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
+            )
+            new_cache = {"k": ck, "v": cv}
+            # mask not-yet-written cache slots via causal masking on position
+            qpos = pos + jnp.arange(t)
+            att = _attn(q, ck, cv, causal=True, flash=False,
+                        q_positions=qpos, kv_mask=kv_mask)
     else:
         att = _attn(q, k, v, causal=True, flash=flash, kv_mask=kv_mask)
 
@@ -283,11 +337,23 @@ def llama_forward(
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None,
-               dtype=jnp.bfloat16):
+               dtype=jnp.bfloat16, kv_bits: int = 0):
     """Stacked per-layer KV buffers (L, B, Hkv, N, hd) — scanned jointly with
-    the stacked blocks in the decode path."""
+    the stacked blocks in the decode path. kv_bits=8 stores int8 codes with
+    per-(layer, batch, head, token) fp32 scales (+3% bytes over the halved
+    cache) — see _quantize_kv for the serving rationale."""
     n = max_len or cfg.max_seq_len
     shape = (cfg.n_layers, batch, cfg.n_kv_heads, n, cfg.head_dim)
+    if kv_bits:
+        if kv_bits != 8:
+            raise ValueError(f"kv_bits must be 0 or 8, got {kv_bits}")
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(sshape, jnp.float32),
+            "vs": jnp.zeros(sshape, jnp.float32),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 

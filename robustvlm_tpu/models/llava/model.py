@@ -210,6 +210,7 @@ def make_llava_decode_fns_unstacked(
     *,
     max_total_len: int,
     compute_dtype=jnp.bfloat16,
+    kv_bits: int = 0,
 ):
     """(prefill_fn, decode_fn) with an UNSTACKED per-layer LM loop:
     params['layers'] is a tuple of per-layer block trees (the
@@ -244,6 +245,16 @@ def make_llava_decode_fns_unstacked(
 
     def init_caches(b):
         shape = (b, lcfg.n_kv_heads, cache_len, lcfg.head_dim)
+        if kv_bits:  # int8 KV cache: halves the decode's cache-read bytes
+            if kv_bits != 8:
+                raise ValueError(f"kv_bits must be 0 or 8, got {kv_bits}")
+            return tuple(
+                {"k": jnp.zeros(shape, jnp.int8),
+                 "v": jnp.zeros(shape, jnp.int8),
+                 "ks": jnp.zeros(shape[:-1], jnp.float32),
+                 "vs": jnp.zeros(shape[:-1], jnp.float32)}
+                for _ in range(lcfg.n_layers)
+            )
         return tuple(
             {"k": jnp.zeros(shape, compute_dtype),
              "v": jnp.zeros(shape, compute_dtype)}
@@ -293,16 +304,21 @@ def make_llava_decode_fns(
     *,
     max_total_len: int,
     compute_dtype=jnp.bfloat16,
+    kv_bits: int = 0,
 ):
     """(prefill_fn, decode_fn) for models/generation.py: prefill runs the
     vision tower + splice once; decode steps run the LM only. Dispatches
     to the unstacked per-layer loop when the params carry the 'layers'
-    serving layout (see make_llava_decode_fns_unstacked)."""
+    serving layout (see make_llava_decode_fns_unstacked). kv_bits=8 uses
+    an int8 KV cache (llama family; see llama.model._quantize_kv)."""
     if "layers" in params and cfg.lm_family == "llama":
         return make_llava_decode_fns_unstacked(
             params, cfg, pixels01, pre_tokens,
             max_total_len=max_total_len, compute_dtype=compute_dtype,
+            kv_bits=kv_bits,
         )
+    if kv_bits and cfg.lm_family != "llama":
+        raise ValueError("kv_bits is llama-family only")
     from robustvlm_tpu.models.llama.model import init_cache
     from robustvlm_tpu.models.mpt.model import init_mpt_cache
 
@@ -335,7 +351,7 @@ def make_llava_decode_fns(
         if cfg.lm_family == "llama":
             cache = init_cache(
                 cfg.llama, b, max_len=t_prefix + max_total_len,
-                dtype=compute_dtype,
+                dtype=compute_dtype, kv_bits=kv_bits,
             )
         else:
             cache = init_mpt_cache(

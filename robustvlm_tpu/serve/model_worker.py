@@ -349,6 +349,12 @@ def main(argv=None):
                         "per-channel int8 (default), 4 = packed int4 with "
                         "group-128 scales (half the HBM bytes again, "
                         "coarser logits)")
+    p.add_argument("--quantize-kv", action="store_true",
+                   help="int8 KV cache with per-token scales "
+                        "(llama family): halves the decode step's "
+                        "cache-read bytes — matters from batch >= 4 where "
+                        "the KV share of HBM traffic bites; orthogonal to "
+                        "--quantize-decode")
     args = p.parse_args(argv)
 
     from robustvlm_tpu.vlm_eval.run_evaluation import build_eval_model
@@ -364,6 +370,13 @@ def main(argv=None):
         # attack/loss path, so dropping the fp tree is free — and at 7B
         # it is REQUIRED (fp + quantized = 19.8 GiB > one v5e)
         model.quantize_for_serving(args.quantize_bits)
+    if args.quantize_kv:
+        if not hasattr(model, "quantize_kv"):
+            raise SystemExit(
+                f"--quantize-kv is not supported by the '{args.model}' "
+                f"adapter (llava only)"
+            )
+        model.quantize_kv = True
     size = model.cfg.vision.image_size
     worker = ModelWorker(
         model, f"{args.model}-{args.model_size}",

@@ -131,6 +131,9 @@ class LlavaEvalModel:
         # quantize_for_serving() instead (progressive, in place, drops the
         # fp tree) or shard fsdp over 2 chips.
         self.quantize_decode = quantize_decode
+        # int8 KV cache for generation (llama.model._quantize_kv): halves
+        # the decode step's cache-read bytes; orthogonal to weight quant
+        self.quantize_kv = False
         self._decode_params = None  # (bits, tree) once built
         self._fp_dropped = False
         # jitted generation cores, keyed (max_new, num_beams, length
@@ -287,24 +290,26 @@ class LlavaEvalModel:
             jnp.asarray([pre_ids] * x01.shape[0]),
             max_total_len=toks.shape[1] + max_new_tokens,
             compute_dtype=self.compute_dtype,
+            kv_bits=8 if self.quantize_kv else 0,
         )
         return pf, df, toks, n_pad
 
     def _gen_core(self, max_new_tokens: int, num_beams: int,
                   length_penalty: float):
-        key = (max_new_tokens, num_beams, length_penalty)
+        key = (max_new_tokens, num_beams, length_penalty, self.quantize_kv)
         fn = self._gen_cores.get(key)
         if fn is None:
             from robustvlm_tpu.models.llava.model import make_llava_decode_fns
 
             cfg, dtype = self.cfg, self.compute_dtype
             eos, pad = self.tok.eos_token_id, self.tok.pad_token_id
+            kv_bits = 8 if self.quantize_kv else 0
 
             def core(params, x01, pre, toks, n_pad):
                 pf, df = make_llava_decode_fns(
                     params, cfg, x01, pre,
                     max_total_len=toks.shape[1] + max_new_tokens,
-                    compute_dtype=dtype,
+                    compute_dtype=dtype, kv_bits=kv_bits,
                 )
                 if num_beams == 1:
                     return greedy_generate(
@@ -319,6 +324,84 @@ class LlavaEvalModel:
 
             fn = self._gen_cores[key] = jax.jit(core)
         return fn
+
+    def _stream_core(self, t_prompt: int, max_new_tokens: int):
+        """Cached jitted (prefill, step) pair for the streaming path —
+        params ride as OPERANDS. The legacy eager stream re-dispatches the
+        unstacked 7B layer loop op-by-op over the tunnel: measured
+        4.25 s/token through the worker (round 5); these cores bring a
+        token step back to one dispatch. The step core re-traces
+        make_llava_decode_fns to rebuild the decode closure from the
+        params ARGUMENT; the vision tower it also traces is dead code
+        there (decode consumes only the cache) and XLA removes it."""
+        from robustvlm_tpu.models.llava.model import make_llava_decode_fns
+
+        key = ("stream", t_prompt, max_new_tokens, self.quantize_kv)
+        pair = self._gen_cores.get(key)
+        if pair is None:
+            cfg, dtype = self.cfg, self.compute_dtype
+            kv_bits = 8 if self.quantize_kv else 0
+            total = t_prompt + max_new_tokens
+
+            def prefill(params, x01, pre, toks, n_pad):
+                pf, _ = make_llava_decode_fns(
+                    params, cfg, x01, pre, max_total_len=total,
+                    compute_dtype=dtype, kv_bits=kv_bits,
+                )
+                t = toks.shape[1]
+                kv_valid0 = jnp.arange(t)[None, :] >= n_pad[:, None]
+                positions = jnp.maximum(
+                    jnp.arange(t)[None, :] - n_pad[:, None], 0
+                )
+                logits, cache = pf(toks, kv_valid0, positions)
+                return jnp.argmax(logits, axis=-1), cache
+
+            def step(params, x01, pre, nxt, cache, pos, kv_mask, qpos):
+                _, df = make_llava_decode_fns(
+                    params, cfg, x01, pre, max_total_len=total,
+                    compute_dtype=dtype, kv_bits=kv_bits,
+                )
+                logits, cache = df(nxt[:, None], cache, pos, kv_mask, qpos)
+                return jnp.argmax(logits[:, -1], axis=-1), cache
+
+            pair = self._gen_cores[key] = (jax.jit(prefill), jax.jit(step))
+        return pair
+
+    def stream_tokens(self, x01: jax.Array, prompts: Sequence[str],
+                      max_new_tokens: int):
+        """Greedy decode yielding one (B,) np token-id array per step, via
+        the jitted stream cores (one device dispatch per token). Same
+        argmax/done semantics as generation.greedy_generate_stream."""
+        import numpy as np
+
+        pre_ids, toks, n_pad = self._tokenize_gen(prompts)
+        b, t = toks.shape
+        prefill_j, step_j = self._stream_core(t, max_new_tokens)
+        params = self._gen_params()
+        pre = jnp.asarray([pre_ids] * x01.shape[0])
+        nxt_dev, cache = prefill_j(
+            params, x01, pre, jnp.asarray(toks), jnp.asarray(n_pad)
+        )
+        n_pad_np = np.asarray(n_pad)
+        kv_mask = np.concatenate(
+            [np.arange(t)[None, :] >= n_pad_np[:, None],
+             np.zeros((b, max_new_tokens), bool)], axis=1,
+        )
+        done = np.zeros((b,), bool)
+        eos, pad = self.tok.eos_token_id, self.tok.pad_token_id
+        for i in range(max_new_tokens):
+            nxt = np.asarray(nxt_dev).astype(np.int32)
+            nxt = np.where(done, pad, nxt)
+            done = done | (nxt == eos)
+            yield nxt.copy()
+            if done.all():
+                return
+            kv_mask[:, t + i] = True
+            qpos = (t + i - n_pad_np)[:, None]
+            nxt_dev, cache = step_j(
+                params, x01, pre, jnp.asarray(nxt), cache,
+                t + i, jnp.asarray(kv_mask), jnp.asarray(qpos),
+            )
 
     def get_outputs(
         self,
@@ -679,17 +762,24 @@ def stream_outputs(
     """
     from robustvlm_tpu.models.generation import greedy_generate_stream
 
-    pf, df, toks, n_pad = model._decode_fns(x01, [prompt], max_new_tokens)
     stops = (
         tuple(stop_strings) if stop_strings is not None
         else getattr(model, "DEFAULT_STOPS", ())
     )
+    if hasattr(model, "stream_tokens"):
+        # jitted stream cores (params as operands): one device dispatch
+        # per token. The legacy eager path below re-dispatches the layer
+        # loop op-by-op — measured 4.25 s/token at 7B through the tunnel.
+        gen = model.stream_tokens(x01, [prompt], max_new_tokens)
+    else:
+        pf, df, toks, n_pad = model._decode_fns(x01, [prompt], max_new_tokens)
+        gen = greedy_generate_stream(
+            pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
+            max_new_tokens=max_new_tokens, eos_id=model.tok.eos_token_id,
+            pad_id=model.tok.pad_token_id,
+        )
     ids: List[int] = []
-    for step in greedy_generate_stream(
-        pf, df, jnp.asarray(toks), jnp.asarray(n_pad),
-        max_new_tokens=max_new_tokens, eos_id=model.tok.eos_token_id,
-        pad_id=model.tok.pad_token_id,
-    ):
+    for step in gen:
         t_id = int(step[0])
         if t_id in (model.tok.eos_token_id, model.tok.pad_token_id):
             break

@@ -129,11 +129,12 @@ def _measure_copy_bandwidth_gb_s(gib: float = 2.0, iters: int = 20):
     return 2 * (n * 2) * iters / dt / 1e9
 
 
-def _decode_step_bytes(cfg, t_avg: int, *, weight_bytes: float = 2.0) -> float:
+def _decode_step_bytes(cfg, t_avg: int, *, weight_bytes: float = 2.0,
+                       kv_bytes: float = 2.0) -> float:
     """HBM bytes one decode step must move: the full LM weight set (re-read
     every token; `weight_bytes`/element — 2.0 bf16, 1.0 int8 weight-only)
-    + the KV cache read at average occupancy t_avg + the cache write
-    (always bf16). Batch-invariant for the weight term."""
+    + the KV cache read at average occupancy t_avg (`kv_bytes`/element —
+    2.0 bf16, 1.03 int8+scales). Batch-invariant for the weight term."""
     lcfg = cfg.llama
     per_layer = (
         4 * lcfg.dim * lcfg.dim          # wq wk wv wo
@@ -141,10 +142,10 @@ def _decode_step_bytes(cfg, t_avg: int, *, weight_bytes: float = 2.0) -> float:
     )
     weights = lcfg.n_layers * per_layer + lcfg.dim * lcfg.vocab_size
     kv = lcfg.n_layers * 2 * lcfg.n_kv_heads * lcfg.head_dim * t_avg
-    return weight_bytes * weights + 2.0 * kv
+    return weight_bytes * weights + kv_bytes * kv
 
 
-def run_one(params, cfg, batch: int, max_new: int):
+def run_one(params, cfg, batch: int, max_new: int, kv_bits: int = 0):
     """One batch point: compile, OOM-verdict, best-of-3 timing, JSON line."""
     from robustvlm_tpu.models.generation import greedy_generate
 
@@ -158,7 +159,8 @@ def run_one(params, cfg, batch: int, max_new: int):
 
     def gen(p, px, pr, q):
         prefill_fn, decode_fn = make_unstacked_decode_fns(
-            p, cfg, px, pr, max_total_len=T_QUESTION + max_new
+            p, cfg, px, pr, max_total_len=T_QUESTION + max_new,
+            kv_bits=kv_bits,
         )
         # eos_id=-1 is unreachable (argmax >= 0): every row decodes the full
         # max_new tokens — honest fixed-length timing on random weights
@@ -169,7 +171,8 @@ def run_one(params, cfg, batch: int, max_new: int):
 
     def prefill_only(p, px, pr, q):
         prefill_fn, _ = make_unstacked_decode_fns(
-            p, cfg, px, pr, max_total_len=T_QUESTION + max_new
+            p, cfg, px, pr, max_total_len=T_QUESTION + max_new,
+            kv_bits=kv_bits,
         )
         kv_valid = jnp.ones((batch, T_QUESTION), bool)
         positions = jnp.broadcast_to(
@@ -253,9 +256,11 @@ def run_one(params, cfg, batch: int, max_new: int):
     return out
 
 
-def main(batches=None, max_new=None, bits=None):
+def main(batches=None, max_new=None, bits=None, kv_bits=None):
     """Args override the BENCH_DECODE_* env vars (bench.py's decode stage
-    calls this in-process with an explicit sweep)."""
+    calls this in-process with an explicit sweep). BENCH_DECODE_KVQ=1 adds
+    the int8 KV cache (models/llama _quantize_kv) on top of whatever
+    weight width is selected."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_llava7b import _init_bf16_on_device
     from robustvlm_tpu.models.llava.model import LLAVA_CONFIGS
@@ -277,6 +282,8 @@ def main(batches=None, max_new=None, bits=None):
             bits = 4
         elif os.environ.get("BENCH_DECODE_Q8") == "1":
             bits = 8
+    if kv_bits is None:
+        kv_bits = 8 if os.environ.get("BENCH_DECODE_KVQ") == "1" else 0
     if bits:
         # PROGRESSIVE per-leaf quantization (the serving worker's path —
         # ops/quant.quantize_decode_params_inplace): quantizing the whole
@@ -294,7 +301,7 @@ def main(batches=None, max_new=None, bits=None):
         file=sys.stderr,
     )
 
-    points = [run_one(params, cfg, b, max_new) for b in batches]
+    points = [run_one(params, cfg, b, max_new, kv_bits) for b in batches]
 
     fits = [p for p in points if p.get("hbm_verdict") == "fits"]
     best = max(fits, key=lambda p: p["tokens_per_sec"]) if fits else None
@@ -307,7 +314,10 @@ def main(batches=None, max_new=None, bits=None):
     # bytes/element the quantized weight stream actually moves: int8 = 1,
     # int4 = 0.5 packed + fp32 scale per 128-row group (4/128)
     wb = {0: 2.0, 8: 1.0, 4: 0.5 + 4.0 / 128}[bits]
-    step_gb = _decode_step_bytes(cfg, t_avg, weight_bytes=wb) / 1e9
+    kb = (1.0 + 4.0 / cfg.llama.head_dim) if kv_bits else 2.0
+    step_gb = _decode_step_bytes(
+        cfg, t_avg, weight_bytes=wb, kv_bytes=kb
+    ) / 1e9
     # effective streaming bandwidth implied by the measured batch-1 step:
     # decode reads are ~all-read (weights + KV), which streams FASTER than
     # the read+write copy chain the anchor measures (measured: q8 b1 does
@@ -322,6 +332,7 @@ def main(batches=None, max_new=None, bits=None):
         "value": best["tokens_per_sec"] if best else None,
         "unit": "tokens/s/chip",
         "weights": f"int{bits}" if bits else "bf16",
+        "kv_cache": "int8" if kv_bits else "bf16",
         "best_batch": best["batch"] if best else None,
         "sweep": points,
         "roofline": {

@@ -25,12 +25,33 @@ weight-agnostic), progressively quantized IN PLACE at startup
 (bench_decode.py); BENCH_WORKER_BITS=4 serves the packed-int4 Pallas path
 (wins at batch >= 2 and leaves ~3 GiB more KV headroom for the b8 point).
 
+Measured (v5e, round 5, int8 weights, 64 new tokens/request):
+
+  single request (window=0):  80.16 tok/s, 0.798 s latency — the whole
+      HTTP + base64-PNG decode + tokenize + readback overhead costs ~13%
+      vs the raw jitted scan (92.3 tok/s, bench_decode.py): the jitted
+      generation core (eval_models._gen_core) keeps the request path at
+      ONE device dispatch.
+  micro-batched aggregate:  c2 139.1 / c4 185.7 / c8 132.4 tok/s — the
+      batcher's case measured THROUGH HTTP, not inferred from scan
+      numbers. c4 ~= 79% of the b4 scan rate (236): the window tax +
+      thread scheduling. c8 REGRESSES: the b8 decode step's KV-cache read
+      (~0.7 GiB/step bf16) erases the batching win — the motivation for
+      the int8 KV cache (--quantize-kv, measured separately).
+  streaming (historical): the first measured run hit 4247 ms/token — the
+      legacy eager stream re-dispatched the unstacked 7B layer loop
+      op-by-op over the tunnel (~300 dispatches x ~14 ms). stream_tokens
+      (jitted prefill/step cores, params as operands) replaced it; see
+      the current stream_single row in REPRODUCING.md section 9.
+
 Usage:  python scripts/bench_worker.py            (needs the TPU)
         BENCH_WORKER_BITS=8|4     weight-only width (default 8)
         BENCH_WORKER_NEW=64       new tokens per request
-        BENCH_WORKER_CONC=2,4,8   concurrency sweep (micro-batched)
+        BENCH_WORKER_CONC=2,4,8   concurrency sweep (micro-batched;
+                                  empty string skips the sweep)
         BENCH_WORKER_REQS=3       sequential requests per client thread
         BENCH_WORKER_STREAM_NEW=32  new tokens for the stream point
+        BENCH_WORKER_KVQ=1        int8 KV cache (llama _quantize_kv)
 
 Prints one JSON line per stage; the last line is the summary. CPU smoke
 test of the harness plumbing: tests/test_bench_worker.py.
@@ -261,6 +282,9 @@ def main(argv=None):
     reqs = int(os.environ.get("BENCH_WORKER_REQS", 3))
 
     model = build_7b_serving_model(bits)
+    kvq = os.environ.get("BENCH_WORKER_KVQ") == "1"
+    if kvq:
+        model.quantize_kv = True
     size = model.cfg.vision.image_size
     img = _png_b64(size)
     n_bytes = sum(
@@ -306,6 +330,7 @@ def main(argv=None):
         ),
         "unit": "tokens/s/chip",
         "weights": f"int{bits}",
+        "kv_cache": "int8" if kvq else "bf16",
         "single_request_tokens_per_sec": single.get("tokens_per_sec"),
         "stream_steady_ms_per_token": stream.get("steady_ms_per_token"),
         "aggregate_by_concurrency": agg,

@@ -1237,3 +1237,72 @@ class TestRunEvaluationE2E:
         ])
         assert "coco" in res
         assert (tmp_path / "out" / "results.json").exists()
+
+
+class TestLlavaStreamCores:
+    """stream_tokens (the jitted-core streaming path) must emit exactly the
+    batch path's greedy trajectory, reuse its compiled cores across calls,
+    and honor the int8 KV flag."""
+
+    @staticmethod
+    def _model():
+        from robustvlm_tpu.models.llava.model import (
+            LLAVA_CONFIGS, init_llava_params,
+        )
+        from robustvlm_tpu.vlm_eval.eval_models import (
+            LlavaEvalModel, WordTokenizer,
+        )
+
+        cfg = LLAVA_CONFIGS["test-tiny"]
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        return LlavaEvalModel(
+            params, cfg, WordTokenizer(cfg.llama.vocab_size),
+            compute_dtype=jnp.float32, max_post_len=16,
+        )
+
+    def test_stream_matches_batch_greedy(self):
+        model = self._model()
+        s = model.cfg.vision.image_size
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(1, 3, s, s).astype(np.float32)
+        )
+        prompt = model.get_caption_prompt()
+        batch_out = model.get_outputs(x, [prompt], max_new_tokens=5)[0]
+        streamed = [
+            int(t[0]) for t in model.stream_tokens(x, [prompt], 5)
+        ]
+        # reconstruct the text the way get_outputs does
+        from robustvlm_tpu.vlm_eval.eval_models import truncate_at_stops
+
+        ids = []
+        for t in streamed:
+            if t in (model.tok.eos_token_id, model.tok.pad_token_id):
+                break
+            ids.append(t)
+        assert truncate_at_stops(
+            model.tok.decode(ids), model.DEFAULT_STOPS
+        ) == batch_out
+
+    def test_stream_core_cached_across_calls(self):
+        model = self._model()
+        s = model.cfg.vision.image_size
+        x = jnp.asarray(
+            np.random.RandomState(1).rand(1, 3, s, s).astype(np.float32)
+        )
+        prompt = model.get_caption_prompt()
+        list(model.stream_tokens(x, [prompt], 4))
+        n = len(model._gen_cores)
+        list(model.stream_tokens(x, [prompt], 4))
+        assert len(model._gen_cores) == n  # same key, no rebuild
+
+    def test_stream_with_kv8_runs_and_matches(self):
+        model = self._model()
+        s = model.cfg.vision.image_size
+        x = jnp.asarray(
+            np.random.RandomState(2).rand(1, 3, s, s).astype(np.float32)
+        )
+        prompt = model.get_caption_prompt()
+        fp = [int(t[0]) for t in model.stream_tokens(x, [prompt], 5)]
+        model.quantize_kv = True
+        q = [int(t[0]) for t in model.stream_tokens(x, [prompt], 5)]
+        assert fp == q  # near-lossless int8 KV on the tiny model
