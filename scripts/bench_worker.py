@@ -38,11 +38,13 @@ Measured (v5e, round 5, int8 weights, 64 new tokens/request):
       thread scheduling. c8 REGRESSES: the b8 decode step's KV-cache read
       (~0.7 GiB/step bf16) erases the batching win — the motivation for
       the int8 KV cache (--quantize-kv, measured separately).
-  streaming (historical): the first measured run hit 4247 ms/token — the
-      legacy eager stream re-dispatched the unstacked 7B layer loop
+  streaming: 22.9 tok/s, 40.8 ms/token steady, 0.132 s to first token —
+      AFTER the round-5 fix. The first measured run hit 4247 ms/token:
+      the legacy eager stream re-dispatched the unstacked 7B layer loop
       op-by-op over the tunnel (~300 dispatches x ~14 ms). stream_tokens
-      (jitted prefill/step cores, params as operands) replaced it; see
-      the current stream_single row in REPRODUCING.md section 9.
+      (jitted prefill/step cores, params as operands) brought a token
+      step back to one dispatch — a 104x fix only an end-to-end
+      measurement could expose.
 
 Usage:  python scripts/bench_worker.py            (needs the TPU)
         BENCH_WORKER_BITS=8|4     weight-only width (default 8)
