@@ -356,11 +356,17 @@ class LlavaEvalModel:
                 logits, cache = pf(toks, kv_valid0, positions)
                 return jnp.argmax(logits, axis=-1), cache
 
-            def step(params, x01, pre, nxt, cache, pos, kv_mask, qpos):
+            def step(params, x01, pre, nxt, cache, pos, n_pad):
                 _, df = make_llava_decode_fns(
                     params, cfg, x01, pre, max_total_len=total,
                     compute_dtype=dtype, kv_bits=kv_bits,
                 )
+                # kv validity and query positions are pure functions of
+                # (pos, n_pad) — computed on device so the host loop ships
+                # only the one sampled token per step, not (B, T) masks
+                sl = jnp.arange(total)[None, :]
+                kv_mask = (sl >= n_pad[:, None]) & (sl < pos + 1)
+                qpos = (pos - n_pad)[:, None]
                 logits, cache = df(nxt[:, None], cache, pos, kv_mask, qpos)
                 return jnp.argmax(logits[:, -1], axis=-1), cache
 
@@ -379,14 +385,9 @@ class LlavaEvalModel:
         prefill_j, step_j = self._stream_core(t, max_new_tokens)
         params = self._gen_params()
         pre = jnp.asarray([pre_ids] * x01.shape[0])
-        nxt_dev, cache = prefill_j(
-            params, x01, pre, jnp.asarray(toks), jnp.asarray(n_pad)
-        )
-        n_pad_np = np.asarray(n_pad)
-        kv_mask = np.concatenate(
-            [np.arange(t)[None, :] >= n_pad_np[:, None],
-             np.zeros((b, max_new_tokens), bool)], axis=1,
-        )
+        n_pad_dev = jnp.asarray(n_pad)
+        nxt_dev, cache = prefill_j(params, x01, pre, jnp.asarray(toks),
+                                   n_pad_dev)
         done = np.zeros((b,), bool)
         eos, pad = self.tok.eos_token_id, self.tok.pad_token_id
         for i in range(max_new_tokens):
@@ -396,11 +397,10 @@ class LlavaEvalModel:
             yield nxt.copy()
             if done.all():
                 return
-            kv_mask[:, t + i] = True
-            qpos = (t + i - n_pad_np)[:, None]
+            # per step the host ships ONE (B,) token array; kv validity and
+            # query positions derive from (pos, n_pad) inside the step core
             nxt_dev, cache = step_j(
-                params, x01, pre, jnp.asarray(nxt), cache,
-                t + i, jnp.asarray(kv_mask), jnp.asarray(qpos),
+                params, x01, pre, jnp.asarray(nxt), cache, t + i, n_pad_dev
             )
 
     def get_outputs(
