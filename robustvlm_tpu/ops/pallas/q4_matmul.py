@@ -141,12 +141,14 @@ def _kernel_group(xl_ref, xh_ref, p_ref, sl_ref, sh_ref, o_ref):
 
 
 def _use_group_kernel() -> bool:
-    """Variant switch: Q4_KERNEL=group selects the magic-dequant group-dot
-    form (see _kernel_group) — measured head-to-head on chip before any
-    default flip; the classic form stays default until it loses."""
+    """Variant switch: the magic-dequant group-dot form (_kernel_group) is
+    the DEFAULT — the on-chip head-to-head (one session, LLaVA-7B decode)
+    measured it ahead at every batch point: 88.4/167.9/271.4 tok/s at
+    b1/b2/b4 vs the shift kernel's 74.5/143/238.8. Q4_KERNEL=shift opts
+    back into the classic form."""
     import os
 
-    return os.environ.get("Q4_KERNEL", "") == "group"
+    return os.environ.get("Q4_KERNEL", "group") == "group"
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "interpret", "group"))

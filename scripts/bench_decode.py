@@ -47,13 +47,30 @@ question tokens, greedy):
         b4: 238.8 tok/s  (14.50 ms vs int8's 14.99) — params 4.12 GiB
             resident: ~3 GiB more KV headroom than int8 for batch growth
 
+Round-5 follow-ups, same harness (Q4_KERNEL=group fp32-magic dequant
+kernel; BENCH_DECODE_KVQ=1 int8 KV cache; batch extended to 8):
+
+  int4(group)       b1: 88.41 / b2: 167.9 / b4: 271.4 tok/s — the magic-
+            number dequant lifts every point over the shift kernel above
+            (b1 12.48 -> 10.36 ms, 373.6 GB/s effective read) and takes
+            the b4 crown from int8 (225.7 same-session); still unpack-
+            bound at b1 so int8 keeps the latency crown.
+  int8 + int8 KV    b1: 93.3 / b4: 192.6 / b8: 347.2 tok/s — KV-quant
+            LOSES at b4 (192.6 vs 225.7: the requant/rescale overhead
+            outweighs the small KV share) and WINS at b8 (347.2 vs
+            295.6, +17%): quantize the KV cache from batch >= 8.
+  int4 + int8 KV    b4: 250.5 / b8: 301.3 tok/s (3.7 GB/step) — int4
+            stays unpack-bound at b8 too; int8+int8KV is the aggregate
+            champion at 347 tok/s/chip.
+
 The copy-bandwidth anchor (read+write scan chain, 532 GB/s) is a
 conservative floor: decode's ~all-read stream runs 680-750 GB/s. No
 published reference datum exists for this workload (the reference serves
 HF fp16 without a throughput number); the roofline above is the yardstick.
 
-Serving defaults from the numbers: int8 for b1 latency, int4 for batched
-throughput / HBM headroom. The q4 kernel's mosaic lesson (round 5): the
+Serving defaults from the numbers: int8 for b1 latency, int4(group) for
+b2-b4 throughput / HBM headroom, int8+int8KV from b8 up (347 tok/s/chip).
+The q4 kernel's mosaic lesson (round 5): the
 TPU compiler has no uint8->bfloat16 cast and the uint8-mask -> int8 -> bf16
 route crashes tpu_compile_helper outright; nibble-decode must run in int32
 lanes (ops/pallas/q4_matmul._kernel).
