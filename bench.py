@@ -62,8 +62,9 @@ Output contract: the HEADLINE attack metric is the LAST JSON line printed
 (the driver parses the last line). The default invocation also prints
 auxiliary JSON lines first — the real-size LLaVA-7B attack bench (batch 1,
 the reference's only published speed datum), the FARE fine-tune train
-metric, and the serving decode sweeps (int8 and int4, b1+b4, each stage's
-last line a llava7b_greedy_decode_tokens_per_sec summary) — so one driver
+metric, and the serving decode sweeps (int8 and int4 at b1+b4, plus the
+aggregate-champion int8+int8KV config at b8; each stage's last line a
+llava7b_greedy_decode_tokens_per_sec summary) — so one driver
 run carries the whole perf story. BENCH_LLAVA=0 skips the 13 GiB attack
 stage, BENCH_DECODE=0 the decode stages; BENCH_TRAIN=1 /
 BENCH_ATTACK_ONLY=1 run a single stage (used by scripts/perf_sweep.py
@@ -426,7 +427,7 @@ def main_llava():
     )
 
 
-def main_decode(bits: int, batches):
+def main_decode(bits: int, batches, kv_bits: int = 0):
     """Serving decode metric, driver-captured (VERDICT r4 #2): LLaVA-7B
     greedy tokens/s with weight-only quantized LM (scripts/bench_decode.py
     carries the roofline + measurement trail). Runs in-process on the
@@ -445,6 +446,7 @@ def main_decode(bits: int, batches):
         batches=batches,
         max_new=int(os.environ.get("BENCH_DECODE_NEW", 128)),
         bits=bits,
+        kv_bits=kv_bits,
     )
 
 
@@ -484,10 +486,10 @@ def _stage(name, fn):
 
 
 if __name__ == "__main__":
-    # 2400 s bounds the FULL warm story (7B attack + train + two decode
+    # 3000 s bounds the FULL warm story (7B attack + train + three decode
     # quantize/compile cycles + headline); past device grant the watchdog
     # only prints a superseded-later error line, never kills the run
-    wd_s = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+    wd_s = float(os.environ.get("BENCH_WATCHDOG_S", 3000))
     wd = _watchdog(wd_s) if wd_s > 0 else None
     if os.environ.get("BENCH_TRAIN"):
         main_train()
@@ -501,9 +503,12 @@ if __name__ == "__main__":
             _stage("apgd_attack_steps_per_sec_llava7b_b1", main_llava)
         _stage("fare_train_imgs_per_sec_per_chip_vitl14", main_train)
         # serving decode stages (opt-out BENCH_DECODE=0): int8 and int4 at
-        # the serving sweep's ends (b1 latency point + b4 aggregate peak).
-        # Measured r5: int8 92.3/236 tok/s, int4 74.5/238.8 — int8 wins b1
-        # (the q4 kernel's nibble decode is VPU-bound), int4 wins batched.
+        # the serving sweep's ends (b1 latency point + b4 aggregate peak),
+        # plus the aggregate champion config int8 weights + int8 KV at b8.
+        # Measured r5: int8 92.3/225.7 tok/s, int4(group) 88.4/271.4 — int8
+        # wins b1 (the q4 nibble decode is VPU-bound), int4 wins b2-b4, and
+        # int8+int8KV b8 is the per-chip aggregate crown (347.2 tok/s;
+        # KV-quant only pays from b>=8 — it LOSES at b4, 192.6 vs 225.7).
         if os.environ.get("BENCH_DECODE", "1") != "0":
             _stage(
                 "llava7b_greedy_decode_tokens_per_sec",
@@ -512,6 +517,10 @@ if __name__ == "__main__":
             _stage(
                 "llava7b_greedy_decode_tokens_per_sec",
                 lambda: main_decode(4, [1, 4]),
+            )
+            _stage(
+                "llava7b_greedy_decode_tokens_per_sec",
+                lambda: main_decode(8, [8], kv_bits=8),
             )
         main()
     if wd is not None:
