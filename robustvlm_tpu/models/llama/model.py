@@ -168,11 +168,35 @@ def _attn(q, k, v, *, causal: bool, flash: bool, q_positions=None,
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
+def _cache_write(buf, new, pos):
+    """Write `new` into the static cache `buf` at token offset `pos`.
+
+    pos scalar: one dynamic_update_slice shared by the batch (the classic
+    lockstep decode). pos vector (B,): PER-SLOT offsets for continuous
+    batching (serve/continuous.py) — each slot of a running decode batch
+    sits at its own depth, so the write unrolls into B single-slot
+    dynamic_update_slices (B is static and small; each lowers to an
+    in-place update, unlike a gather/scatter rewrite of the whole cache,
+    whose HBM traffic is exactly what the KV cache must not add).
+    Handles both value buffers (B, H, N, hd) and quant-scale buffers
+    (B, H, N)."""
+    if getattr(pos, "ndim", 0) == 0:
+        idx = (0, 0, pos) + (0,) * (buf.ndim - 3)
+        return jax.lax.dynamic_update_slice(buf, new, idx)
+    out = buf
+    for i in range(buf.shape[0]):
+        idx = (i, 0, pos[i]) + (0,) * (buf.ndim - 3)
+        out = jax.lax.dynamic_update_slice(out, new[i : i + 1], idx)
+    return out
+
+
 def _block(x, bp, cfg: LlamaConfig, cos, sin, *, flash, cache=None, pos=None,
            kv_mask=None):
     """One decoder layer. cache: optional dict {k, v} with static (B, Hkv,
-    max_seq, hd) buffers; pos: scalar write offset for decode; kv_mask
-    (B, cache_len) marks valid key slots (padding-aware generation)."""
+    max_seq, hd) buffers; pos: scalar write offset for decode — or a (B,)
+    vector of PER-SLOT offsets (continuous batching; see _cache_write);
+    kv_mask (B, cache_len) marks valid key slots (padding-aware
+    generation)."""
     b, t, _ = x.shape
     cd = x.dtype
     # qmatmul: plain weights cast to cd (the historical W() convention);
@@ -187,39 +211,29 @@ def _block(x, bp, cfg: LlamaConfig, cos, sin, *, flash, cache=None, pos=None,
 
     new_cache = None
     if cache is not None:
+        if getattr(pos, "ndim", 0) == 1:  # per-slot offsets -> (B, Tq) qpos
+            qpos = pos[:, None] + jnp.arange(t)[None, :]
+        else:
+            qpos = pos + jnp.arange(t)
         if "ks" in cache:  # int8 KV cache (see _quantize_kv)
             kq, ks = _quantize_kv(k)
             vq, vs = _quantize_kv(v)
             new_cache = {
-                "k": jax.lax.dynamic_update_slice(
-                    cache["k"], kq, (0, 0, pos, 0)
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    cache["v"], vq, (0, 0, pos, 0)
-                ),
-                "ks": jax.lax.dynamic_update_slice(
-                    cache["ks"], ks, (0, 0, pos)
-                ),
-                "vs": jax.lax.dynamic_update_slice(
-                    cache["vs"], vs, (0, 0, pos)
-                ),
+                "k": _cache_write(cache["k"], kq, pos),
+                "v": _cache_write(cache["v"], vq, pos),
+                "ks": _cache_write(cache["ks"], ks, pos),
+                "vs": _cache_write(cache["vs"], vs, pos),
             }
-            qpos = pos + jnp.arange(t)
             att = _attn(
                 q, new_cache["k"], new_cache["v"], causal=True, flash=False,
                 q_positions=qpos, kv_mask=kv_mask,
                 k_scale=new_cache["ks"], v_scale=new_cache["vs"],
             )
         else:
-            ck = jax.lax.dynamic_update_slice(
-                cache["k"], k.astype(cache["k"].dtype), (0, 0, pos, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cache["v"], v.astype(cache["v"].dtype), (0, 0, pos, 0)
-            )
+            ck = _cache_write(cache["k"], k.astype(cache["k"].dtype), pos)
+            cv = _cache_write(cache["v"], v.astype(cache["v"].dtype), pos)
             new_cache = {"k": ck, "v": cv}
             # mask not-yet-written cache slots via causal masking on position
-            qpos = pos + jnp.arange(t)
             att = _attn(q, ck, cv, causal=True, flash=False,
                         q_positions=qpos, kv_mask=kv_mask)
     else:

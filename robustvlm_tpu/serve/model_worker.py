@@ -9,7 +9,9 @@ model runs jitted generation; the HTTP layer is a thin stdlib server.
 Beyond the reference: --batch-window-ms coalesces concurrent requests into
 one padded batched TPU call (see _Batcher) — the chip's per-example
 generation throughput rises with batch, which the reference's strictly
-per-request worker leaves on the table.
+per-request worker leaves on the table. --continuous goes further:
+requests are admitted into the RUNNING decode batch at step boundaries
+(serve/continuous.py), so arrivals mid-decode don't wait out the batch.
 """
 
 from __future__ import annotations
@@ -128,6 +130,7 @@ class ModelWorker:
         image_size: int = 224,
         batch_window_ms: float = 0.0,
         max_batch: int = 8,
+        continuous=None,
     ):
         self.model = eval_model
         self.model_name = model_name
@@ -140,6 +143,9 @@ class ModelWorker:
             _Batcher(self, batch_window_ms, max_batch)
             if batch_window_ms > 0 else None
         )
+        # continuous: a serve.continuous.ContinuousEngine — greedy requests
+        # join the running decode batch instead of queueing behind it
+        self.continuous = continuous
         if controller_address:
             self.register()
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
@@ -232,6 +238,20 @@ class ModelWorker:
         with self.lock:
             self.queue_length += 1
         try:
+            if (self.continuous is not None
+                    and int(payload.get("num_beams", 1)) == 1):
+                from robustvlm_tpu.vlm_eval.eval_models import (
+                    truncate_at_stops,
+                )
+
+                req = self.continuous.submit(
+                    self.decode_image(payload), self._prompt(payload),
+                    int(payload.get("max_new_tokens", 32)),
+                )
+                text = self.model.tok.decode(req.wait_ids())
+                stops = getattr(self.model, "DEFAULT_STOPS", ())
+                return {"text": truncate_at_stops(text, stops),
+                        "error_code": 0}
             if self.batcher is not None:
                 return self.batcher.submit(payload)
             x = jnp.asarray(self.decode_image(payload))[None]
@@ -257,6 +277,27 @@ class ModelWorker:
         with self.lock:
             self.queue_length += 1
         try:
+            if self.continuous is not None:
+                from robustvlm_tpu.vlm_eval.eval_models import (
+                    truncate_at_stops,
+                )
+
+                req = self.continuous.submit(
+                    self.decode_image(payload), self._prompt(payload),
+                    int(payload.get("max_new_tokens", 32)),
+                )
+                stops = getattr(self.model, "DEFAULT_STOPS", ())
+                ids = []
+                for t in req.token_stream():
+                    ids.append(t)
+                    raw = self.model.tok.decode(ids)
+                    if any(s in raw for s in stops):
+                        req.cancel()  # free the lane: don't decode to cap
+                        yield {"text": truncate_at_stops(raw, stops),
+                               "error_code": 0}
+                        return
+                    yield {"text": raw.strip(), "error_code": 0}
+                return
             x = jnp.asarray(self.decode_image(payload))[None]
             for text in stream_outputs(
                 self.model, x, self._prompt(payload),
@@ -349,6 +390,23 @@ def main(argv=None):
                         "per-channel int8 (default), 4 = packed int4 with "
                         "group-128 scales (half the HBM bytes again, "
                         "coarser logits)")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching (serve/continuous.py): admit "
+                        "greedy requests into the RUNNING decode batch at "
+                        "step boundaries instead of queueing behind it — "
+                        "one static compiled shape (--cb-slots lanes)")
+    p.add_argument("--cb-slots", type=int, default=4,
+                   help="decode lanes for --continuous")
+    p.add_argument("--cb-width", type=int, default=32,
+                   help="static post-prompt token width for --continuous "
+                        "(longer prompts are rejected)")
+    p.add_argument("--cb-max-new", type=int, default=64,
+                   help="per-lane generation cap for --continuous "
+                        "(per-request max_new_tokens clamps to this)")
+    p.add_argument("--cb-chunk", type=int, default=1,
+                   help="decode steps per device dispatch for --continuous "
+                        "(amortizes tunnel dispatch latency; admission "
+                        "waits up to chunk-1 steps)")
     p.add_argument("--quantize-kv", action="store_true",
                    help="int8 KV cache with per-token scales "
                         "(llama family): halves the decode step's "
@@ -377,6 +435,14 @@ def main(argv=None):
                 f"adapter (llava only)"
             )
         model.quantize_kv = True
+    engine = None
+    if args.continuous:
+        from robustvlm_tpu.serve.continuous import ContinuousEngine
+
+        engine = ContinuousEngine(
+            model, n_slots=args.cb_slots, width=args.cb_width,
+            max_new=args.cb_max_new, chunk=args.cb_chunk,
+        )
     size = model.cfg.vision.image_size
     worker = ModelWorker(
         model, f"{args.model}-{args.model_size}",
@@ -385,6 +451,7 @@ def main(argv=None):
         image_size=size,
         batch_window_ms=args.batch_window_ms,
         max_batch=args.max_batch,
+        continuous=engine,
     )
     server = serve_worker(worker, args.host, args.port)
     print(f"worker listening on {args.host}:{args.port}")

@@ -373,6 +373,95 @@ class LlavaEvalModel:
             pair = self._gen_cores[key] = (jax.jit(prefill), jax.jit(step))
         return pair
 
+    def _continuous_cores(self, n_slots: int, width: int, max_new: int,
+                          chunk: int = 1):
+        """Cached jitted (admit, insert, step) cores for the continuous-
+        batching engine (serve/continuous.py) — slot-based admission into a
+        RUNNING decode batch, the throughput discipline the window
+        micro-batcher can't reach (it only coalesces same-phase requests;
+        reference llava/serve/model_worker.py serves strictly
+        request-at-a-time).
+
+        Static config: `n_slots` decode lanes, post-prompt tokens left-padded
+        to `width`, `max_new` generated tokens, `chunk` decode steps per
+        device dispatch (a lax.scan inside the step core — amortizes the
+        ~25 ms tunnel dispatch across chunk tokens at the cost of up to
+        chunk-1 steps of admission latency). Params ride as OPERANDS
+        (bound-model protocol). Per-slot cache depths are handled by the
+        vector-position decode path (llama.model._cache_write).
+
+        admit(params, x01, pre, toks, n_pad) -> (first_tok (1,), slot_caches)
+            batch-1 prefill of one request at the static width.
+        insert(bcaches, scaches, slot) -> bcaches
+            copies the slot caches into decode lane `slot` (in-place
+            dynamic_update_slice; bcaches donated on TPU).
+        step(params, x01, pre, nxt, bcaches, pos, n_pad)
+            -> ((n_slots, chunk) tokens, bcaches, pos + chunk)
+            `chunk` greedy steps for all lanes; x01/pre are dead operands
+            (decode consumes only the cache; XLA removes the traced vision
+            tower) so any batch-1 arrays work."""
+        from robustvlm_tpu.models.llava.model import make_llava_decode_fns
+
+        key = ("cb", n_slots, width, max_new, chunk, self.quantize_kv)
+        cores = self._gen_cores.get(key)
+        if cores is None:
+            cfg, dtype = self.cfg, self.compute_dtype
+            kv_bits = 8 if self.quantize_kv else 0
+            total = width + max_new
+            # stacked llama caches are (L, B, Hkv, N, hd): lane axis 1; the
+            # unstacked 7B serving layout ('layers' trees) keeps lanes at 0
+            batch_axis = 0 if "layers" in self._gen_params() else 1
+
+            def admit(params, x01, pre, toks, n_pad):
+                pf, _ = make_llava_decode_fns(
+                    params, cfg, x01, pre, max_total_len=total,
+                    compute_dtype=dtype, kv_bits=kv_bits,
+                )
+                kv_valid0 = jnp.arange(width)[None, :] >= n_pad[:, None]
+                positions = jnp.maximum(
+                    jnp.arange(width)[None, :] - n_pad[:, None], 0
+                )
+                logits, caches = pf(toks, kv_valid0, positions)
+                return jnp.argmax(logits, axis=-1), caches
+
+            def insert(bcaches, scaches, slot):
+                def put(b, s):
+                    idx = [0] * b.ndim
+                    idx[batch_axis] = slot
+                    return jax.lax.dynamic_update_slice(
+                        b, s.astype(b.dtype), tuple(idx)
+                    )
+
+                return jax.tree.map(put, bcaches, scaches)
+
+            def step(params, x01, pre, nxt, bcaches, pos, n_pad):
+                _, df = make_llava_decode_fns(
+                    params, cfg, x01, pre, max_total_len=total,
+                    compute_dtype=dtype, kv_bits=kv_bits,
+                )
+                sl = jnp.arange(total)[None, :]
+
+                def body(carry, _):
+                    cur, caches, p = carry
+                    kv_mask = (sl >= n_pad[:, None]) & (sl <= p[:, None])
+                    qpos = (p - n_pad)[:, None]
+                    logits, caches = df(cur[:, None], caches, p, kv_mask, qpos)
+                    nxt2 = jnp.argmax(logits[:, -1], axis=-1)
+                    return (nxt2, caches, p + 1), nxt2
+
+                (_, bcaches, pos), toks = jax.lax.scan(
+                    body, (nxt, bcaches, pos), None, length=chunk
+                )
+                return toks.T, bcaches, pos
+
+            donate = jax.default_backend() == "tpu"
+            cores = self._gen_cores[key] = (
+                jax.jit(admit),
+                jax.jit(insert, donate_argnums=(0,) if donate else ()),
+                jax.jit(step, donate_argnums=(4,) if donate else ()),
+            )
+        return cores
+
     def stream_tokens(self, x01: jax.Array, prompts: Sequence[str],
                       max_new_tokens: int):
         """Greedy decode yielding one (B,) np token-id array per step, via

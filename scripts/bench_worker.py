@@ -17,6 +17,13 @@ throughput) through actual HTTP on localhost:
      window-coalescing micro-batcher (max_batch=c, so the compiled batch
      shape equals the offered concurrency): aggregate tok/s — the measured
      case for the batcher that bench_decode's b2/b4 scan numbers only imply.
+  4. STAGGERED arrivals (clients offset by --stagger seconds) against (a)
+     the continuous-batching engine (serve/continuous.py: requests join
+     the RUNNING decode batch at step boundaries) and (b) the window
+     micro-batcher under the identical schedule. Staggering is the traffic
+     shape the window batcher cannot coalesce (a request arriving
+     mid-decode waits out the whole batch) and the reason continuous
+     batching exists; same-instant volleys (stage 3) are its best case.
 
 Model: LLaVA-1.5-7B at real shapes, random bf16 weights (throughput is
 weight-agnostic), progressively quantized IN PLACE at startup
@@ -54,6 +61,11 @@ Usage:  python scripts/bench_worker.py            (needs the TPU)
         BENCH_WORKER_REQS=3       sequential requests per client thread
         BENCH_WORKER_STREAM_NEW=32  new tokens for the stream point
         BENCH_WORKER_KVQ=1        int8 KV cache (llama _quantize_kv)
+        BENCH_WORKER_CB=4         continuous-vs-batcher staggered sweep
+                                  (lane counts; empty string skips)
+        BENCH_WORKER_CB_CHUNK=8   decode steps per dispatch (amortizes the
+                                  ~30 ms tunnel dispatch across tokens)
+        BENCH_WORKER_STAGGER_S=0.25  client start offset for stage 4
 
 Prints one JSON line per stage; the last line is the summary. CPU smoke
 test of the harness plumbing: tests/test_bench_worker.py.
@@ -249,6 +261,83 @@ def bench_concurrent(
     }
 
 
+def _serve_continuous(model, *, image_size: int, n_slots: int, max_new: int,
+                      chunk: int, width: int = 32):
+    """Worker backed by the continuous-batching engine; -> (server, url,
+    engine). Caller must shutdown() both."""
+    from robustvlm_tpu.serve.continuous import ContinuousEngine
+    from robustvlm_tpu.serve.model_worker import ModelWorker, serve_worker
+
+    eng = ContinuousEngine(
+        model, n_slots=n_slots, width=width, max_new=max_new, chunk=chunk
+    )
+    worker = ModelWorker(
+        model, "llava-7b-bench", worker_address="", controller_address=None,
+        image_size=image_size, continuous=eng,
+    )
+    srv = serve_worker(worker, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", eng
+
+
+def bench_staggered(
+    url: str, img: str, max_new: int, *, conc: int, reqs: int,
+    stagger_s: float, mode: str
+) -> dict:
+    """Stage 4: client i starts i*stagger_s after client 0, then sends
+    `reqs` back-to-back requests — arrivals land MID-decode, the shape
+    window coalescing can't batch. Aggregate tok/s over the whole ramp
+    (identical schedule for both modes, so the numbers compare directly)."""
+    errors: list = []
+
+    def client(i: int, stagger: float):
+        time.sleep(i * stagger)
+        payload = {
+            "image_b64": img, "task": "vqa",
+            "question": f"what is in image {i}", "max_new_tokens": max_new,
+        }
+        for _ in range(reqs):
+            out = _post(url + "/worker_generate", payload)
+            if out.get("error_code"):
+                errors.append(out.get("error", "?"))
+                return
+
+    # warm/compile volley (no stagger needed: compiles are shape-keyed)
+    warm = [threading.Thread(target=client, args=(i, 0.0))
+            for i in range(conc)]
+    t0 = time.perf_counter()
+    for t in warm:
+        t.start()
+    for t in warm:
+        t.join()
+    t_compile = time.perf_counter() - t0
+    if errors:
+        raise RuntimeError(f"{mode} conc {conc}: {errors[0][:300]}")
+
+    threads = [threading.Thread(target=client, args=(i, stagger_s))
+               for i in range(conc)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    if errors:
+        raise RuntimeError(f"{mode} conc {conc}: {errors[0][:300]}")
+    total_tokens = conc * reqs * max_new
+    return {
+        "stage": "staggered_arrivals",
+        "mode": mode,
+        "concurrency": conc,
+        "requests_per_client": reqs,
+        "stagger_s": stagger_s,
+        "aggregate_tokens_per_sec": round(total_tokens / dt, 2),
+        "wall_s": round(dt, 4),
+        "compile_plus_first_volley_s": round(t_compile, 1),
+        "max_new_tokens": max_new,
+    }
+
+
 def build_7b_serving_model(bits: int):
     """LLaVA-1.5-7B eval model, random bf16 weights born unstacked on
     device (bench_llava7b._init_bf16_on_device — the stacked layout OOMs),
@@ -320,15 +409,43 @@ def main(argv=None):
         stage(bench_concurrent, url, img, max_new, conc=c, reqs=reqs)
         srv.shutdown()
 
+    # stage 4: continuous batching vs the window batcher under STAGGERED
+    # arrivals — the traffic shape same-phase coalescing can't batch
+    cb_concs = [
+        int(c) for c in os.environ.get("BENCH_WORKER_CB", "4").split(",")
+        if c.strip()
+    ]
+    cb_chunk = int(os.environ.get("BENCH_WORKER_CB_CHUNK", 8))
+    stagger_s = float(os.environ.get("BENCH_WORKER_STAGGER_S", 0.25))
+    for c in cb_concs:
+        srv, url, eng = _serve_continuous(
+            model, image_size=size, n_slots=c, max_new=max_new,
+            chunk=cb_chunk,
+        )
+        stage(bench_staggered, url, img, max_new, conc=c, reqs=reqs,
+              stagger_s=stagger_s, mode="continuous")
+        srv.shutdown()
+        eng.shutdown()
+        srv, url = _serve(model, image_size=size, window_ms=30.0, max_batch=c)
+        stage(bench_staggered, url, img, max_new, conc=c, reqs=reqs,
+              stagger_s=stagger_s, mode="window_batcher")
+        srv.shutdown()
+
     agg = {
         p["concurrency"]: p["aggregate_tokens_per_sec"]
         for p in points
         if p.get("stage") == "concurrent_batched" and "error" not in p
     }
+    stag = {
+        f'{p["mode"]}_c{p["concurrency"]}': p["aggregate_tokens_per_sec"]
+        for p in points
+        if p.get("stage") == "staggered_arrivals" and "error" not in p
+    }
     summary = {
         "metric": "llava7b_worker_e2e_tokens_per_sec",
         "value": max(
-            [single.get("tokens_per_sec", 0), *agg.values()], default=None
+            [single.get("tokens_per_sec", 0), *agg.values(), *stag.values()],
+            default=None,
         ),
         "unit": "tokens/s/chip",
         "weights": f"int{bits}",
@@ -336,6 +453,7 @@ def main(argv=None):
         "single_request_tokens_per_sec": single.get("tokens_per_sec"),
         "stream_steady_ms_per_token": stream.get("steady_ms_per_token"),
         "aggregate_by_concurrency": agg,
+        "staggered_aggregate": stag,
         "max_new_tokens": max_new,
     }
     print(json.dumps(summary), flush=True)

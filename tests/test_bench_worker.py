@@ -72,6 +72,40 @@ def test_concurrent_stage_batches_and_counts(tiny_model, img_b64):
         srv.shutdown()
 
 
+def test_staggered_stage_continuous_and_batcher(tiny_model, img_b64):
+    """Stage 4 harness: the same staggered schedule drives the continuous
+    engine and the window batcher; both return comparable measurements."""
+    size = tiny_model.cfg.vision.image_size
+    srv, url, eng = bench_worker._serve_continuous(
+        tiny_model, image_size=size, n_slots=2, max_new=3, chunk=2, width=16
+    )
+    try:
+        out = bench_worker.bench_staggered(
+            url, img_b64, 3, conc=2, reqs=2, stagger_s=0.05,
+            mode="continuous",
+        )
+        assert out["stage"] == "staggered_arrivals"
+        assert out["mode"] == "continuous"
+        assert out["aggregate_tokens_per_sec"] == pytest.approx(
+            2 * 2 * 3 / out["wall_s"], rel=0.05
+        )
+    finally:
+        srv.shutdown()
+        eng.shutdown()
+    srv, url = bench_worker._serve(
+        tiny_model, image_size=size, window_ms=20.0, max_batch=2
+    )
+    try:
+        out = bench_worker.bench_staggered(
+            url, img_b64, 3, conc=2, reqs=2, stagger_s=0.05,
+            mode="window_batcher",
+        )
+        assert out["mode"] == "window_batcher"
+        assert out["aggregate_tokens_per_sec"] > 0
+    finally:
+        srv.shutdown()
+
+
 def test_stream_times_counts_ndjson_chunks(tiny_model, img_b64):
     size = tiny_model.cfg.vision.image_size
     srv, url = bench_worker._serve(
