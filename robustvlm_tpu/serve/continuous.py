@@ -212,30 +212,37 @@ class ContinuousEngine:
         st.req.tokens.put(None)
 
     def _admit(self, slot: int, req: CBRequest):
+        import jax
         import jax.numpy as jnp
 
-        admit_j, insert_j, _ = self._cores()
+        admit_j, _, prefill_probe = self._cores()
         params = self.model._gen_params()
         x01 = jnp.asarray(req.image)[None]
         if self._pre_dev is None:
             self._pre_dev = jnp.asarray([list(self._pre_ids)], jnp.int32)
-        first, scaches = admit_j(
-            params, x01, self._pre_dev, jnp.asarray(req._toks),
-            jnp.asarray(req._n_pad),
-        )
+        toks = jnp.asarray(req._toks)
+        n_pad = jnp.asarray(req._n_pad)
         if self._bcaches is None:
+            # learn the per-slot cache shapes abstractly (no compile, no
+            # device work) and allocate the zeroed lane caches once
             ax = 0 if "layers" in params else 1  # see _continuous_cores
             n = self.n_slots
+            _, cache_sds = jax.eval_shape(
+                prefill_probe, params, x01, self._pre_dev, toks, n_pad
+            )
 
             def lanes(s):
                 shape = list(s.shape)
                 shape[ax] = n
                 return jnp.zeros(shape, s.dtype)
 
-            import jax
-
-            self._bcaches = jax.tree.map(lanes, scaches)
-        self._bcaches = insert_j(self._bcaches, scaches, jnp.int32(slot))
+            self._bcaches = jax.tree.map(lanes, cache_sds)
+        # prefill + lane insert fused: the new request's KV rows are written
+        # straight into the donated batched caches
+        first, self._bcaches = admit_j(
+            params, x01, self._pre_dev, toks, n_pad, self._bcaches,
+            jnp.int32(slot),
+        )
         self._x01_any = x01
         self._pos[slot] = self.width
         self._npad[slot] = int(req._n_pad[0])
@@ -247,7 +254,7 @@ class ContinuousEngine:
     def _dispatch(self):
         import jax.numpy as jnp
 
-        _, _, step_j = self._cores()
+        _, step_j, _ = self._cores()
         params = self.model._gen_params()
         active_before = [i for i in range(self.n_slots)
                          if self._slots[i] is not None]

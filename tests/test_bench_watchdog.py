@@ -130,11 +130,24 @@ class TestStageMemoryRelease:
             )
             assert res.x_best.shape == x.shape
 
+        # delta-based: under xdist, fixtures of OTHER not-yet-finalized test
+        # modules in this worker may legitimately hold live arrays (observed
+        # as a full-suite-only flake); the production claim is that the
+        # stage releases ITS OWN arrays, so pin live-bytes(after) <=
+        # live-bytes(before), not == 0
+        gc.collect()
+        # hold strong refs so these ids cannot be recycled by new arrays
+        before_arrays = [a for a in jax.live_arrays() if not a.is_deleted()]
+        before = {id(a) for a in before_arrays}
         bench._stage("tiny", tiny_attack_stage)
         gc.collect()
-        leaked = [a for a in jax.live_arrays() if not a.is_deleted()]
+        leaked = [
+            a for a in jax.live_arrays()
+            if not a.is_deleted() and id(a) not in before
+        ]
         total = sum(a.size * a.dtype.itemsize for a in leaked)
+        del before_arrays
         assert total == 0, (
-            f"{len(leaked)} arrays / {total} bytes still live after _stage: "
+            f"{len(leaked)} arrays / {total} bytes newly live after _stage: "
             f"{[(a.shape, str(a.dtype)) for a in leaked][:10]}"
         )
