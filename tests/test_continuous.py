@@ -231,6 +231,36 @@ def test_worker_routes_through_engine(setup):
         eng.shutdown()
 
 
+def test_fsdp_sharded_params_engine_parity(setup):
+    """Serving scale-out: the engine with fsdp/TP-sharded params over the
+    8-device virtual mesh decodes the same tokens as the single-device
+    engine — the cores take params as operands, so the sharding rules
+    (parallel/mesh.py) compose with continuous batching unchanged. This is
+    the multi-chip path that serves bf16 at batch >= 2 (one v5e OOMs)."""
+    cfg, params, _, imgs, prompt, solo = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from robustvlm_tpu.parallel import make_mesh, shard_params
+    from robustvlm_tpu.vlm_eval.eval_models import (
+        LlavaEvalModel,
+        WordTokenizer,
+    )
+
+    mesh = make_mesh(data=1, fsdp=4, model=2)
+    p = shard_params(jax.tree.map(lambda a: a, params), mesh)
+    m = LlavaEvalModel(
+        p, cfg, WordTokenizer(cfg.llama.vocab_size),
+        compute_dtype=jnp.float32, max_post_len=16,
+    )
+    refs = [solo(m, im) for im in imgs[:2]]  # sharded solo reference
+    eng = ContinuousEngine(m, n_slots=2, width=8, max_new=8)
+    try:
+        rs = [eng.submit(im, prompt, 8) for im in imgs[:2]]
+        assert [r.wait_ids() for r in rs] == refs
+    finally:
+        eng.shutdown()
+
+
 def test_concurrent_submissions_all_exact(setup):
     """Three threads submit concurrently against 2 lanes (forcing queueing
     + staggered admission + reuse under racing submits)."""
