@@ -79,6 +79,12 @@ class CBRequest:
         return list(self.token_stream())
 
 
+class _DeviceFailure(RuntimeError):
+    """A jitted core raised AFTER the batched caches were donated to it —
+    the old buffer is consumed, so the whole running batch must be failed
+    and the lane caches rebuilt from scratch."""
+
+
 class _Slot:
     __slots__ = ("req", "emitted", "cap")
 
@@ -239,10 +245,13 @@ class ContinuousEngine:
             self._bcaches = jax.tree.map(lanes, cache_sds)
         # prefill + lane insert fused: the new request's KV rows are written
         # straight into the donated batched caches
-        first, self._bcaches = admit_j(
-            params, x01, self._pre_dev, toks, n_pad, self._bcaches,
-            jnp.int32(slot),
-        )
+        try:
+            first, self._bcaches = admit_j(
+                params, x01, self._pre_dev, toks, n_pad, self._bcaches,
+                jnp.int32(slot),
+            )
+        except Exception as e:
+            raise _DeviceFailure(f"{type(e).__name__}: {e}") from e
         self._x01_any = x01
         self._pos[slot] = self.width
         self._npad[slot] = int(req._n_pad[0])
@@ -295,7 +304,14 @@ class ContinuousEngine:
             for slot, req in admits:
                 try:
                     self._admit(slot, req)
-                except Exception as e:  # surfaced on the request stream
+                except _DeviceFailure as e:  # pragma: no cover
+                    # the donated batched caches are consumed: fail the
+                    # whole running batch and rebuild the lanes fresh
+                    self._slots[slot] = None
+                    req.error = str(e)
+                    req.tokens.put(None)
+                    self._fail_batch(str(e))
+                except Exception as e:  # host-side: surfaced per request
                     self._slots[slot] = None
                     req.error = f"{type(e).__name__}: {e}"
                     req.tokens.put(None)
@@ -303,8 +319,14 @@ class ContinuousEngine:
                 try:
                     self._dispatch()
                 except Exception as e:  # pragma: no cover - device failure
-                    msg = f"{type(e).__name__}: {e}"
-                    for i in range(self.n_slots):
-                        if self._slots[i] is not None:
-                            self._slots[i].req.error = msg
-                            self._retire(i)
+                    self._fail_batch(f"{type(e).__name__}: {e}")
+
+    def _fail_batch(self, msg: str):
+        """Retire every active lane with `msg` and drop the (possibly
+        donated-and-consumed) batched caches so the next admission
+        reallocates them."""
+        for i in range(self.n_slots):
+            if self._slots[i] is not None:
+                self._slots[i].req.error = msg
+                self._retire(i)
+        self._bcaches = None

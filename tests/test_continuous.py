@@ -188,6 +188,32 @@ def test_cancel_frees_lane_for_next_request(setup):
         eng.shutdown()
 
 
+def test_dispatch_failure_fails_batch_then_recovers(setup):
+    """A device-side dispatch failure retires the running batch with the
+    error surfaced on each request stream, drops the (possibly donated)
+    lane caches, and the next admission rebuilds them cleanly."""
+    _, _, model, imgs, prompt, solo = setup
+    ref = solo(model, imgs[1])
+    eng = ContinuousEngine(model, n_slots=1, width=8, max_new=8)
+    try:
+        orig, fired = eng._dispatch, []
+
+        def boom():
+            if not fired:
+                fired.append(1)
+                raise RuntimeError("injected device failure")
+            return orig()
+
+        eng._dispatch = boom
+        r1 = eng.submit(imgs[0], prompt, 8)
+        with pytest.raises(RuntimeError, match="injected"):
+            list(r1.token_stream())
+        assert eng._bcaches is None  # lanes dropped for rebuild
+        assert eng.submit(imgs[1], prompt, 8).wait_ids() == ref
+    finally:
+        eng.shutdown()
+
+
 def test_non_llama_family_rejected():
     class _Cfg:
         lm_family = "mpt"
