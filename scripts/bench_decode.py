@@ -273,6 +273,113 @@ def run_one(params, cfg, batch: int, max_new: int, kv_bits: int = 0):
     return out
 
 
+def fsdp_compile_check(n_devices: int = 2, batch: int = 2,
+                       max_new: int = 32):
+    """Serving scale-out close-out: bf16 at batch >= 2 OOMs ONE v5e
+    (measured above — the weight relayout temps alone exceed HBM), so the
+    unquantized answer is fsdp >= 2 chips. AOT-compile the FULL bf16
+    greedy serving program (vision prefill + max_new-token scan) with
+    fsdp-sharded params at real 7B dims over a virtual CPU mesh —
+    compile-only, nothing materialized (scripts/bench_of9b.compile_check
+    pattern). Runs in a subprocess so the forced device count doesn't
+    leak into the caller's backend."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    env["PYTHONPATH"] = (
+        repo + os.pathsep + os.path.dirname(os.path.abspath(__file__))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    code = (
+        "from bench_decode import _fsdp_compile_impl; "
+        f"_fsdp_compile_impl({n_devices}, {batch}, {max_new})"
+    )
+    res = subprocess.run([sys.executable, "-c", code], env=env)
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"fsdp serving compile check failed (rc={res.returncode})"
+        )
+
+
+def _fsdp_compile_impl(n_devices: int, batch: int, max_new: int):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
+    from robustvlm_tpu.models.generation import greedy_generate
+    from robustvlm_tpu.models.llava.model import (
+        LLAVA_CONFIGS,
+        init_llava_params,
+        make_llava_decode_fns,
+    )
+    from robustvlm_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        param_sharding_rules,
+    )
+
+    cfg = LLAVA_CONFIGS["llava-1.5-7b"]
+    mesh = make_mesh(data=1, fsdp=n_devices, model=1)
+    shapes = _jax.eval_shape(
+        lambda k: init_llava_params(k, cfg), _jax.random.PRNGKey(0)
+    )
+    shardings = param_sharding_rules(shapes, mesh)
+    # bf16 at rest, abstract: a pure lower+compile existence proof
+    absp = _jax.tree.map(
+        lambda s, sh: _jax.ShapeDtypeStruct(
+            s.shape, jnp.bfloat16, sharding=sh
+        ),
+        shapes, shardings,
+    )
+    s = cfg.vision.image_size
+    px = _jax.ShapeDtypeStruct(
+        (batch, 3, s, s), jnp.float32, sharding=batch_sharding(mesh, 4)
+    )
+    pre = _jax.ShapeDtypeStruct(
+        (batch, T_PRE), jnp.int32, sharding=batch_sharding(mesh, 2)
+    )
+    q = _jax.ShapeDtypeStruct(
+        (batch, T_QUESTION), jnp.int32, sharding=batch_sharding(mesh, 2)
+    )
+    npd = _jax.ShapeDtypeStruct(
+        (batch,), jnp.int32, sharding=batch_sharding(mesh, 1)
+    )
+
+    def gen(p, pixels, pre_toks, question, n_pad):
+        pf, df = make_llava_decode_fns(
+            p, cfg, pixels, pre_toks,
+            max_total_len=T_QUESTION + max_new,
+            compute_dtype=jnp.bfloat16,
+        )
+        return greedy_generate(
+            pf, df, question, n_pad, max_new_tokens=max_new, eos_id=-1
+        ).tokens
+
+    t0 = time.perf_counter()
+    compiled = _jax.jit(gen).lower(absp, px, pre, q, npd).compile()
+    dt = time.perf_counter() - t0
+    ma = compiled.memory_analysis()
+    print(json.dumps({
+        "metric": "llava7b_bf16_fsdp_serving_compile_check",
+        "n_devices": n_devices,
+        "batch": batch,
+        "max_new": max_new,
+        "compile_s": round(dt, 1),
+        "per_device_argument_gib": round(
+            ma.argument_size_in_bytes / 2**30, 3
+        ),
+        "note": (
+            f"arguments = params/{n_devices} + inputs (proves the fsdp "
+            "weight split); CPU temp bytes are not a TPU HBM prediction"
+        ),
+    }), flush=True)
+
+
 def main(batches=None, max_new=None, bits=None, kv_bits=None):
     """Args override the BENCH_DECODE_* env vars (bench.py's decode stage
     calls this in-process with an explicit sweep). BENCH_DECODE_KVQ=1 adds

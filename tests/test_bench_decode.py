@@ -242,3 +242,15 @@ class TestKVQuant:
         # absmax/127 per row bounds the error at half an LSB
         lsb = np.asarray(s)[..., None]
         assert (err <= 0.5 * lsb + 1e-7).all()
+
+
+class TestFsdpServingCompile:
+    def test_bf16_fsdp2_serving_program_compiles_at_real_dims(self):
+        """bf16 serving at batch >= 2 OOMs one v5e (measured); the scale-out
+        path must EXIST: the full bf16 greedy serving program (prefill +
+        token scan) AOT-compiles with fsdp-2-sharded params at real 7B dims
+        on a virtual mesh, and the per-device argument bytes prove the
+        weight split (subprocess prints the JSON line; raises on failure)."""
+        from bench_decode import fsdp_compile_check
+
+        fsdp_compile_check(n_devices=2, batch=2, max_new=8)
