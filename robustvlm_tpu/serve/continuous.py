@@ -101,11 +101,13 @@ class ContinuousEngine:
 
     def __init__(self, model, *, n_slots: int = 4, width: int = 32,
                  max_new: int = 32, chunk: int = 1):
-        if getattr(model.cfg, "lm_family", "llama") != "llama":
+        if (not hasattr(model, "_continuous_cores")
+                or getattr(model.cfg, "lm_family", None) != "llama"):
             raise ValueError(
-                "continuous batching requires the llama LM family "
-                "(vector-position cache writes; got "
-                f"{model.cfg.lm_family!r})"
+                "continuous batching requires a llava adapter with the "
+                "llama LM family (vector-position cache writes; got "
+                f"{type(model).__name__} / "
+                f"{getattr(model.cfg, 'lm_family', None)!r})"
             )
         if n_slots < 1 or width < 1 or max_new < 1 or chunk < 1:
             raise ValueError("n_slots/width/max_new/chunk must be >= 1")
@@ -145,8 +147,8 @@ class ContinuousEngine:
         can't fit the engine's static shapes (too many post tokens, or a
         pre-image segment differing from the pinned one — all llava
         caption/VQA prompts share the system-prompt pre segment)."""
-        req = CBRequest(image, prompt,
-                        min(int(max_new or self.max_new), self.max_new))
+        cap = self.max_new if max_new is None else int(max_new)
+        req = CBRequest(image, prompt, min(cap, self.max_new))
         pre_ids, toks, n_pad = self.model._tokenize_gen([prompt])
         with self._cv:
             if self._pre_ids is None:
@@ -200,10 +202,13 @@ class ContinuousEngine:
 
     def _emit(self, slot: int, tok: int):
         """Deliver one decoded token to lane `slot`'s request; retire the
-        lane on EOS / cap / cancellation (EOS itself is not emitted)."""
+        lane on EOS/pad / cap / cancellation. Like every other decode
+        surface (stream_outputs, strip_after_eos), pad terminates too —
+        the terminator token itself is never emitted."""
         st = self._slots[slot]
         req = st.req
-        if req.cancelled or tok == self._eos:
+        if (req.cancelled or tok == self._eos or tok == self._pad
+                or st.emitted >= st.cap):
             self._retire(slot)
             return
         req.tokens.put(tok)
@@ -221,7 +226,7 @@ class ContinuousEngine:
         import jax
         import jax.numpy as jnp
 
-        admit_j, _, prefill_probe = self._cores()
+        admit_j, _, prefill_probe, ax = self._cores()
         params = self.model._gen_params()
         x01 = jnp.asarray(req.image)[None]
         if self._pre_dev is None:
@@ -230,8 +235,8 @@ class ContinuousEngine:
         n_pad = jnp.asarray(req._n_pad)
         if self._bcaches is None:
             # learn the per-slot cache shapes abstractly (no compile, no
-            # device work) and allocate the zeroed lane caches once
-            ax = 0 if "layers" in params else 1  # see _continuous_cores
+            # device work) and allocate the zeroed lane caches once, on the
+            # lane axis the cores' insert targets
             n = self.n_slots
             _, cache_sds = jax.eval_shape(
                 prefill_probe, params, x01, self._pre_dev, toks, n_pad
@@ -263,7 +268,7 @@ class ContinuousEngine:
     def _dispatch(self):
         import jax.numpy as jnp
 
-        _, step_j, _ = self._cores()
+        _, step_j, _, _ = self._cores()
         params = self.model._gen_params()
         active_before = [i for i in range(self.n_slots)
                          if self._slots[i] is not None]

@@ -464,10 +464,13 @@ class LlavaEvalModel:
                 return toks.T, bcaches, pos
 
             donate = jax.default_backend() == "tpu"
+            # batch_axis rides along so the engine allocates lane caches on
+            # the same axis the insert writes (single source of truth)
             cores = self._gen_cores[key] = (
                 jax.jit(admit, donate_argnums=(5,) if donate else ()),
                 jax.jit(step, donate_argnums=(4,) if donate else ()),
                 prefill_probe,
+                batch_axis,
             )
         return cores
 

@@ -209,36 +209,36 @@ def bench_stream(url: str, img: str, max_new: int, *, reps: int = 3) -> dict:
     }
 
 
-def bench_concurrent(
-    url: str, img: str, max_new: int, conc: int, reqs: int
-) -> dict:
-    """Stage 3: `conc` client threads, `reqs` sequential requests each,
-    against a worker whose micro-batcher compiles at batch shape == conc.
-    Aggregate tok/s counts every request's max_new tokens (the scan is
-    fixed-length, so padded rows do the same chip work)."""
+def _run_clients(url: str, img: str, max_new: int, conc: int, reqs: int,
+                 stagger_s: float):
+    """`conc` client threads (client i starts i*stagger_s late), `reqs`
+    sequential /worker_generate requests each; -> (wall_s, n_tokens,
+    errors). Tokens are counted from the response text — the bench model's
+    WordTokenizer decodes exactly one space-separated word per token — so
+    a lane that retires early at EOS is credited only for what it emitted:
+    the same honest count for BOTH scheduler modes (the fixed-length-scan
+    argument holds for the window batcher but NOT for the continuous
+    engine). A transport exception is recorded, never silently lost with
+    its thread."""
     errors: list = []
+    counts = [0] * conc
 
     def client(i: int):
-        payload = {
-            "image_b64": img, "task": "vqa",
-            "question": f"what is in image {i}", "max_new_tokens": max_new,
-        }
-        for _ in range(reqs):
-            out = _post(url + "/worker_generate", payload)
-            if out.get("error_code"):
-                errors.append(out.get("error", "?"))
-                return
-
-    # warm/compile: one full concurrent volley (the batcher pads to conc)
-    warm = [threading.Thread(target=client, args=(i,)) for i in range(conc)]
-    t0 = time.perf_counter()
-    for t in warm:
-        t.start()
-    for t in warm:
-        t.join()
-    t_compile = time.perf_counter() - t0
-    if errors:
-        raise RuntimeError(f"concurrency {conc}: {errors[0][:300]}")
+        try:
+            time.sleep(i * stagger_s)
+            payload = {
+                "image_b64": img, "task": "vqa",
+                "question": f"what is in image {i}",
+                "max_new_tokens": max_new,
+            }
+            for _ in range(reqs):
+                out = _post(url + "/worker_generate", payload)
+                if out.get("error_code"):
+                    errors.append(out.get("error", "?"))
+                    return
+                counts[i] += len(out.get("text", "").split())
+        except Exception as e:  # noqa: BLE001 — surface, don't lose
+            errors.append(f"{type(e).__name__}: {e}")
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(conc)]
     t0 = time.perf_counter()
@@ -246,15 +246,27 @@ def bench_concurrent(
         t.start()
     for t in threads:
         t.join()
-    dt = time.perf_counter() - t0
+    return time.perf_counter() - t0, sum(counts), errors
+
+
+def bench_concurrent(
+    url: str, img: str, max_new: int, conc: int, reqs: int
+) -> dict:
+    """Stage 3: `conc` client threads against a worker whose micro-batcher
+    compiles at batch shape == conc; aggregate emitted-tokens/s."""
+    # warm/compile: one full concurrent volley (the batcher pads to conc)
+    t_compile, _, errors = _run_clients(url, img, max_new, conc, 1, 0.0)
     if errors:
         raise RuntimeError(f"concurrency {conc}: {errors[0][:300]}")
-    total_tokens = conc * reqs * max_new
+    dt, n_tokens, errors = _run_clients(url, img, max_new, conc, reqs, 0.0)
+    if errors:
+        raise RuntimeError(f"concurrency {conc}: {errors[0][:300]}")
     return {
         "stage": "concurrent_batched",
         "concurrency": conc,
         "requests_per_client": reqs,
-        "aggregate_tokens_per_sec": round(total_tokens / dt, 2),
+        "aggregate_tokens_per_sec": round(n_tokens / dt, 2),
+        "tokens_counted": "emitted",
         "wall_s": round(dt, 4),
         "compile_plus_first_volley_s": round(t_compile, 1),
         "max_new_tokens": max_new,
@@ -286,52 +298,26 @@ def bench_staggered(
 ) -> dict:
     """Stage 4: client i starts i*stagger_s after client 0, then sends
     `reqs` back-to-back requests — arrivals land MID-decode, the shape
-    window coalescing can't batch. Aggregate tok/s over the whole ramp
-    (identical schedule for both modes, so the numbers compare directly)."""
-    errors: list = []
-
-    def client(i: int, stagger: float):
-        time.sleep(i * stagger)
-        payload = {
-            "image_b64": img, "task": "vqa",
-            "question": f"what is in image {i}", "max_new_tokens": max_new,
-        }
-        for _ in range(reqs):
-            out = _post(url + "/worker_generate", payload)
-            if out.get("error_code"):
-                errors.append(out.get("error", "?"))
-                return
-
+    window coalescing can't batch. Aggregate emitted-tokens/s over the
+    whole ramp (identical schedule + identical counting for both modes,
+    so the numbers compare directly)."""
     # warm/compile volley (no stagger needed: compiles are shape-keyed)
-    warm = [threading.Thread(target=client, args=(i, 0.0))
-            for i in range(conc)]
-    t0 = time.perf_counter()
-    for t in warm:
-        t.start()
-    for t in warm:
-        t.join()
-    t_compile = time.perf_counter() - t0
+    t_compile, _, errors = _run_clients(url, img, max_new, conc, 1, 0.0)
     if errors:
         raise RuntimeError(f"{mode} conc {conc}: {errors[0][:300]}")
-
-    threads = [threading.Thread(target=client, args=(i, stagger_s))
-               for i in range(conc)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
+    dt, n_tokens, errors = _run_clients(
+        url, img, max_new, conc, reqs, stagger_s
+    )
     if errors:
         raise RuntimeError(f"{mode} conc {conc}: {errors[0][:300]}")
-    total_tokens = conc * reqs * max_new
     return {
         "stage": "staggered_arrivals",
         "mode": mode,
         "concurrency": conc,
         "requests_per_client": reqs,
         "stagger_s": stagger_s,
-        "aggregate_tokens_per_sec": round(total_tokens / dt, 2),
+        "aggregate_tokens_per_sec": round(n_tokens / dt, 2),
+        "tokens_counted": "emitted",
         "wall_s": round(dt, 4),
         "compile_plus_first_volley_s": round(t_compile, 1),
         "max_new_tokens": max_new,

@@ -64,9 +64,11 @@ def test_concurrent_stage_batches_and_counts(tiny_model, img_b64):
         )
         assert out["stage"] == "concurrent_batched"
         assert out["concurrency"] == 2
-        # 2 clients x 2 requests x 3 tokens over the measured wall
-        assert out["aggregate_tokens_per_sec"] == pytest.approx(
-            2 * 2 * 3 / out["wall_s"], rel=0.05
+        # emitted-token counting: at most 2 clients x 2 requests x 3 tokens
+        # (early EOS/pad on the random tiny model may emit fewer)
+        assert out["tokens_counted"] == "emitted"
+        assert 0 < out["aggregate_tokens_per_sec"] <= (
+            2 * 2 * 3 / out["wall_s"] * 1.01
         )
     finally:
         srv.shutdown()
@@ -86,8 +88,9 @@ def test_staggered_stage_continuous_and_batcher(tiny_model, img_b64):
         )
         assert out["stage"] == "staggered_arrivals"
         assert out["mode"] == "continuous"
-        assert out["aggregate_tokens_per_sec"] == pytest.approx(
-            2 * 2 * 3 / out["wall_s"], rel=0.05
+        assert out["tokens_counted"] == "emitted"
+        assert 0 < out["aggregate_tokens_per_sec"] <= (
+            2 * 2 * 3 / out["wall_s"] * 1.01
         )
     finally:
         srv.shutdown()
