@@ -53,6 +53,32 @@ Measured (v5e, round 5, int8 weights, 64 new tokens/request):
       step back to one dispatch — a 104x fix only an end-to-end
       measurement could expose.
 
+Stage 4 measured (v5e, int8 weights, 64 new/request, 3 reqs/client,
+chunk=8; aggregate emitted-tok/s and per-request latency):
+
+  stagger 0.25s c4:  continuous 129.1 (p95 1.89 s, max 1.89)
+                     window     136.5 (p95 2.37 s, max 2.62)
+      bursty arrivals: the batcher still coalesces most of the volley and
+      keeps a ~5% throughput edge (admission prefills are serialized per
+      request in the engine) — but continuous already cuts the latency
+      TAIL by ~20% (every lane decodes concurrently; nobody waits out a
+      running batch).
+  stagger 0.5s  c4:  continuous 120.0 (p95 1.82) vs window 111.3 (p95 2.75)
+  stagger 0.5s  c8:  continuous 143.1 (p95 2.81) vs window 128.3 (p95 4.08)
+      de-phased arrivals (the production shape): continuous wins BOTH
+      axes — +8%/+12% throughput and a ~31-34% lower p95 — exactly the
+      crossover the design predicts (window coalescing degrades toward
+      per-request serving as arrivals spread; slot admission keeps lanes
+      busy regardless of phase).
+  stagger 0.5s c8 + int8 KV (--quantize-kv):
+                     continuous 138.3 (p95 3.05) vs window 13.4 (p95 105.1)
+      two honest findings: (1) KV-quant does NOT pay at partial lane
+      occupancy (138.3 < 143.1 plain — the per-step rescale overhead
+      without the full-b8 cache-read saving); (2) the window batcher
+      DESTABILIZES: each near-singleton group pays the full padded-b8
+      KVq prefill+scan, calls slow down, coalescing degrades further — a
+      queueing feedback the phase-free engine is structurally immune to.
+
 Usage:  python scripts/bench_worker.py            (needs the TPU)
         BENCH_WORKER_BITS=8|4     weight-only width (default 8)
         BENCH_WORKER_NEW=64       new tokens per request
@@ -222,6 +248,7 @@ def _run_clients(url: str, img: str, max_new: int, conc: int, reqs: int,
     its thread."""
     errors: list = []
     counts = [0] * conc
+    lats: list = []  # per-request end-to-end latencies (all clients)
 
     def client(i: int):
         try:
@@ -232,11 +259,14 @@ def _run_clients(url: str, img: str, max_new: int, conc: int, reqs: int,
                 "max_new_tokens": max_new,
             }
             for _ in range(reqs):
+                t0 = time.perf_counter()
                 out = _post(url + "/worker_generate", payload)
+                dt = time.perf_counter() - t0
                 if out.get("error_code"):
                     errors.append(out.get("error", "?"))
                     return
                 counts[i] += len(out.get("text", "").split())
+                lats.append(dt)
         except Exception as e:  # noqa: BLE001 — surface, don't lose
             errors.append(f"{type(e).__name__}: {e}")
 
@@ -246,7 +276,7 @@ def _run_clients(url: str, img: str, max_new: int, conc: int, reqs: int,
         t.start()
     for t in threads:
         t.join()
-    return time.perf_counter() - t0, sum(counts), errors
+    return time.perf_counter() - t0, sum(counts), errors, sorted(lats)
 
 
 def bench_concurrent(
@@ -255,10 +285,10 @@ def bench_concurrent(
     """Stage 3: `conc` client threads against a worker whose micro-batcher
     compiles at batch shape == conc; aggregate emitted-tokens/s."""
     # warm/compile: one full concurrent volley (the batcher pads to conc)
-    t_compile, _, errors = _run_clients(url, img, max_new, conc, 1, 0.0)
+    t_compile, _, errors, _ = _run_clients(url, img, max_new, conc, 1, 0.0)
     if errors:
         raise RuntimeError(f"concurrency {conc}: {errors[0][:300]}")
-    dt, n_tokens, errors = _run_clients(url, img, max_new, conc, reqs, 0.0)
+    dt, n_tokens, errors, lats = _run_clients(url, img, max_new, conc, reqs, 0.0)
     if errors:
         raise RuntimeError(f"concurrency {conc}: {errors[0][:300]}")
     return {
@@ -267,6 +297,9 @@ def bench_concurrent(
         "requests_per_client": reqs,
         "aggregate_tokens_per_sec": round(n_tokens / dt, 2),
         "tokens_counted": "emitted",
+        "latency_mean_s": round(sum(lats) / len(lats), 3),
+        "latency_p95_s": round(lats[max(0, int(len(lats) * 0.95) - 1)], 3),
+        "latency_max_s": round(lats[-1], 3),
         "wall_s": round(dt, 4),
         "compile_plus_first_volley_s": round(t_compile, 1),
         "max_new_tokens": max_new,
@@ -302,10 +335,10 @@ def bench_staggered(
     whole ramp (identical schedule + identical counting for both modes,
     so the numbers compare directly)."""
     # warm/compile volley (no stagger needed: compiles are shape-keyed)
-    t_compile, _, errors = _run_clients(url, img, max_new, conc, 1, 0.0)
+    t_compile, _, errors, _ = _run_clients(url, img, max_new, conc, 1, 0.0)
     if errors:
         raise RuntimeError(f"{mode} conc {conc}: {errors[0][:300]}")
-    dt, n_tokens, errors = _run_clients(
+    dt, n_tokens, errors, lats = _run_clients(
         url, img, max_new, conc, reqs, stagger_s
     )
     if errors:
@@ -318,6 +351,9 @@ def bench_staggered(
         "stagger_s": stagger_s,
         "aggregate_tokens_per_sec": round(n_tokens / dt, 2),
         "tokens_counted": "emitted",
+        "latency_mean_s": round(sum(lats) / len(lats), 3),
+        "latency_p95_s": round(lats[max(0, int(len(lats) * 0.95) - 1)], 3),
+        "latency_max_s": round(lats[-1], 3),
         "wall_s": round(dt, 4),
         "compile_plus_first_volley_s": round(t_compile, 1),
         "max_new_tokens": max_new,
@@ -381,11 +417,14 @@ def main(argv=None):
         print(json.dumps({"metric": "llava7b_worker_e2e", **out}), flush=True)
         return out
 
-    # stages 1+2: per-request worker (window=0, the reference behavior)
-    srv, url = _serve(model, image_size=size, window_ms=0.0, max_batch=1)
-    single = stage(bench_single, url, img, max_new)
-    stream = stage(bench_stream, url, img, stream_new)
-    srv.shutdown()
+    # stages 1+2: per-request worker (window=0, the reference behavior);
+    # BENCH_WORKER_SINGLE=0 skips them when iterating on later stages
+    single = stream = {}
+    if os.environ.get("BENCH_WORKER_SINGLE", "1") != "0":
+        srv, url = _serve(model, image_size=size, window_ms=0.0, max_batch=1)
+        single = stage(bench_single, url, img, max_new)
+        stream = stage(bench_stream, url, img, stream_new)
+        srv.shutdown()
 
     # stage 3: one worker per concurrency so the compiled batch shape
     # equals the offered load (max_batch=c); window 30 ms coalesces the
