@@ -231,6 +231,17 @@ def test_dispatch_failure_fails_batch_then_recovers(setup):
         eng.shutdown()
 
 
+def test_max_new_zero_emits_nothing(setup):
+    """An explicit max_new=0 request must generate zero tokens (matches
+    get_outputs with a zero-length scan), not fall back to the engine cap."""
+    _, _, model, imgs, prompt, _ = setup
+    eng = ContinuousEngine(model, n_slots=1, width=8, max_new=8)
+    try:
+        assert eng.submit(imgs[0], prompt, 0).wait_ids() == []
+    finally:
+        eng.shutdown()
+
+
 def test_non_llama_family_rejected():
     class _Cfg:
         lm_family = "mpt"
