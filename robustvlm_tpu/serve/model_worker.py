@@ -131,6 +131,7 @@ class ModelWorker:
         batch_window_ms: float = 0.0,
         max_batch: int = 8,
         continuous=None,
+        speculate: int = 0,
     ):
         self.model = eval_model
         self.model_name = model_name
@@ -146,6 +147,10 @@ class ModelWorker:
         # continuous: a serve.continuous.ContinuousEngine — greedy requests
         # join the running decode batch instead of queueing behind it
         self.continuous = continuous
+        # speculate: k > 0 serves /worker_generate_stream via prompt-lookup
+        # speculative decoding (serve/speculative.py) — token-exact, up to
+        # k+1 tokens per device dispatch on the dispatch-bound stream path
+        self.speculate = speculate
         if controller_address:
             self.register()
             t = threading.Thread(target=self._heartbeat_loop, daemon=True)
@@ -302,6 +307,7 @@ class ModelWorker:
             for text in stream_outputs(
                 self.model, x, self._prompt(payload),
                 max_new_tokens=int(payload.get("max_new_tokens", 32)),
+                speculate=self.speculate,
             ):
                 yield {"text": text, "error_code": 0}
         except Exception as e:  # pragma: no cover
@@ -407,6 +413,11 @@ def main(argv=None):
                    help="decode steps per device dispatch for --continuous "
                         "(amortizes tunnel dispatch latency; admission "
                         "waits up to chunk-1 steps)")
+    p.add_argument("--speculate", type=int, default=0,
+                   help="k > 0: serve /worker_generate_stream via prompt-"
+                        "lookup speculative decoding (serve/speculative.py) "
+                        "— token-exact greedy, up to k+1 tokens per device "
+                        "dispatch on the dispatch-bound stream path")
     p.add_argument("--quantize-kv", action="store_true",
                    help="int8 KV cache with per-token scales "
                         "(llama family): halves the decode step's "
@@ -452,6 +463,7 @@ def main(argv=None):
         batch_window_ms=args.batch_window_ms,
         max_batch=args.max_batch,
         continuous=engine,
+        speculate=args.speculate,
     )
     server = serve_worker(worker, args.host, args.port)
     print(f"worker listening on {args.host}:{args.port}")

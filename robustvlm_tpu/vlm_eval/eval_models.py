@@ -856,10 +856,13 @@ def stream_outputs(
     *,
     max_new_tokens: int = 32,
     stop_strings: Optional[Sequence[str]] = None,
+    speculate: int = 0,
 ):
     """Yield cumulative decoded text for ONE example as greedy tokens
     arrive (the serving stream path — reference model_worker
     generate_stream). Works with any adapter exposing `_decode_fns`.
+    speculate=k > 0 routes through prompt-lookup speculative decoding
+    (serve/speculative.py — token-exact, 1..k+1 tokens per dispatch).
     """
     from robustvlm_tpu.models.generation import greedy_generate_stream
 
@@ -867,7 +870,13 @@ def stream_outputs(
         tuple(stop_strings) if stop_strings is not None
         else getattr(model, "DEFAULT_STOPS", ())
     )
-    if hasattr(model, "stream_tokens"):
+    if speculate and hasattr(model, "stream_tokens"):
+        from robustvlm_tpu.serve.speculative import spec_stream_tokens
+
+        gen = spec_stream_tokens(
+            model, x01, [prompt], max_new_tokens, k=speculate
+        )
+    elif hasattr(model, "stream_tokens"):
         # jitted stream cores (params as operands): one device dispatch
         # per token. The legacy eager path below re-dispatches the layer
         # loop op-by-op — measured 4.25 s/token at 7B through the tunnel.

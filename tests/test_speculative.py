@@ -279,3 +279,24 @@ def test_bad_k_rejected(setup):
                 model, jnp.asarray(imgs[0])[None], [prompt], 4, k=0
             )
         ))
+
+
+def test_worker_stream_routes_through_speculative(setup):
+    """--speculate worker path: /worker_generate_stream through the
+    speculative decoder yields the same final text as the plain stream."""
+    from robustvlm_tpu.serve.model_worker import ModelWorker
+    from robustvlm_tpu.vlm_eval.eval_models import truncate_at_stops
+
+    _, _, model, imgs, prompt, collect, solo = setup
+    ref_text = truncate_at_stops(
+        model.tok.decode(solo(model, imgs[0])), model.DEFAULT_STOPS
+    )
+    w = ModelWorker(
+        model, "llava-tiny", worker_address="",
+        controller_address=None, image_size=32, speculate=3,
+    )
+    payload = {"image": imgs[0].tolist(), "task": "caption",
+               "max_new_tokens": 8}
+    chunks = list(w.generate_stream(dict(payload)))
+    assert all(c["error_code"] == 0 for c in chunks)
+    assert chunks[-1]["text"] == ref_text
